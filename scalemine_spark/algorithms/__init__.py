@@ -1,0 +1,12 @@
+from scalemine_spark.algorithms.components import connected_components
+from scalemine_spark.algorithms.labelprop import label_propagation
+from scalemine_spark.algorithms.pagerank import pagerank
+from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_count",
+    "triangles_per_vertex",
+]

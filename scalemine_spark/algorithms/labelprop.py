@@ -1,0 +1,97 @@
+"""G3 — synchronous label propagation [BASELINE.json:6,14].
+
+Semantics (normative, SURVEY §2 G3): undirected graph; label_0(v) = v;
+each iteration every vertex adopts the most frequent label among its
+neighbors' previous labels, ties broken by the SMALLEST label
+(deterministic — exact-match acceptance requires it). Isolated vertices
+keep their label. Runs a fixed number of iterations or until fixpoint
+(no label changed).
+
+Kernel (SURVEY A6): groupBy(id, label).count() then
+max(struct(cnt, -label)) — lexicographic struct max == (max count,
+then min label) — all JVM-side, no window shuffle needed.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.graph import symmetrize
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int | None = None,
+    max_iters: int = 20,
+    checkpointer: CheckpointManager | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Returns (labels DF (id, label), info). iters=None -> run to fixpoint
+    (bounded by max_iters); iters=k -> exactly k synchronous iterations."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    sym = symmetrize(edges).repartition(p, "dst").persist()
+    verts = (
+        sym.select(F.col("src").alias("id")).distinct().repartition(p, "id").persist()
+    )
+
+    start = 0
+    labels = None
+    if checkpointer is not None:
+        last = checkpointer.latest()
+        if last is not None:
+            labels = checkpointer.read_state(spark, last)
+            start = last + 1
+    if labels is None:
+        labels = verts.select("id", F.col("id").alias("label"))
+
+    total = iters if iters is not None else max_iters
+    t0 = time.monotonic()
+    it = start
+    changed = -1
+    while it < total:
+        t_it = time.monotonic()
+        # neighbor labels: edge (src,dst) brings label(dst) to src
+        nbr = sym.join(
+            labels.select(F.col("id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        counts = nbr.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        new = counts.groupBy("id").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        ).select("id", (-F.col("m.neg")).alias("new_label"))
+        # previous label rides along as `prev` -> changed-count is a scan-agg
+        new_labels = (
+            labels.join(new, "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                F.col("label").alias("prev"),
+            )
+        )
+
+        if checkpointer is not None:
+            committed = checkpointer.commit(it, new_labels, {})
+        else:
+            # truncate every iteration (branching plan growth, SURVEY §4.3.1)
+            committed = new_labels.localCheckpoint(eager=True)
+
+        changed = committed.filter(F.col("label") != F.col("prev")).count()
+        if checkpointer is not None:
+            checkpointer.amend_metrics(
+                it, {"changed": float(changed), "iter_seconds": time.monotonic() - t_it}
+            )
+        labels = committed
+        it += 1
+        if iters is None and changed == 0:
+            break
+
+    info = {"iters": it, "seconds": time.monotonic() - t0, "last_changed": changed}
+    labels = labels.select("id", "label")
+    sym.unpersist()
+    verts.unpersist()
+    return labels, info

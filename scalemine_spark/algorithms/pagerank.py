@@ -1,0 +1,197 @@
+"""G1 — PageRank as an iterative DataFrame job [BASELINE.json:6,14].
+
+Semantics (normative, SURVEY §2 G1):
+    N        = |vertices(edges)|        (distinct src ∪ dst)
+    r_0(v)   = 1/N
+    r_{t+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_t(u)/outdeg(u) + dangling_t/N )
+    dangling_t = Σ_{outdeg(u)=0} r_t(u)
+    stop when Σ|r_{t+1}-r_t| < tol, or after max_iters / fixed_iters.
+
+Scale design:
+  * The SpMV is `edges ⋈ state ON src=id` (sort-merge at scale, AQE may flip
+    to broadcast for tiny state) followed by `groupBy(dst).sum` — Spark's
+    partial aggregation makes hot dst keys cheap (each map task emits one
+    partial per dst), and AQE skew-join splitting handles hot src joins.
+  * Optional explicit hub handling (north rule "broadcast of high-degree hub
+    vectors"): ranks of vertices with outdeg ≥ hub_threshold are broadcast
+    and joined map-side against their (huge) edge fan-out, the long tail
+    goes through the normal shuffle join. This removes the single hottest
+    join key from the shuffle entirely.
+  * edges are repartitioned on src once and persisted; the per-iteration join
+    reuses that partitioning (no re-shuffle of the big side per iteration).
+  * Every iteration commits state + metrics through CheckpointManager
+    (atomic manifest; resume = fast-forward to latest committed iteration),
+    which also truncates lineage (SURVEY §4.3.1).
+
+Per iteration: 1 scalar action (dangling+delta fused via a self-join on the
+previous state), 1 write action (checkpoint).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.graph import out_degrees, vertex_ids
+
+
+def _prepare(edges: DataFrame, num_partitions: int | None):
+    """vertices(id, out_deg) persisted; edges persisted partitioned on src."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(p, "src").persist()
+    verts = (
+        vertex_ids(e)
+        .join(out_degrees(e), "id", "left")
+        .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .repartition(p, "id")
+        .persist()
+    )
+    return e, verts, p
+
+
+def pagerank(
+    edges: DataFrame,
+    d: float = 0.85,
+    tol: float = 1e-8,
+    max_iters: int = 100,
+    fixed_iters: int | None = None,
+    checkpointer: CheckpointManager | None = None,
+    checkpoint_interval: int = 1,
+    num_partitions: int | None = None,
+    hub_threshold: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Returns (ranks DF (id, rank), info dict with iters/deltas/edges_per_sec).
+
+    fixed_iters: run exactly that many iterations, skip convergence checks
+    (used by the driver-oracle query, which must be deterministic in shape).
+    """
+    spark = edges.sparkSession
+    e, verts, p = _prepare(edges, num_partitions)
+    n = verts.count()
+    n_edges = e.count()
+    if n == 0:
+        return verts.select("id", F.lit(0.0).alias("rank")), {"iters": 0, "n": 0}
+
+    start_iter = 0
+    state = None
+    if checkpointer is not None:
+        last = checkpointer.latest()
+        if last is not None:
+            state = checkpointer.read_state(spark, last)  # (id, out_deg, rank)
+            start_iter = last + 1
+    if state is None:
+        state = verts.withColumn("rank", F.lit(1.0 / n))
+
+    hubs = None
+    if hub_threshold is not None:
+        hub_ids = verts.filter(F.col("out_deg") >= hub_threshold).select("id")
+        e_hub = e.join(F.broadcast(hub_ids), e.src == hub_ids.id, "left_semi").persist()
+        e_tail = e.join(F.broadcast(hub_ids), e.src == hub_ids.id, "left_anti").persist()
+        hubs = (hub_ids, e_hub, e_tail)
+
+    total_iters = fixed_iters if fixed_iters is not None else max_iters
+    deltas: list[float] = []
+    t0 = time.monotonic()
+
+    # one-time scalar pass; thereafter dangling/total are folded into the
+    # per-iteration stats action (mass is conserved, so the stats of the
+    # *committed* state feed the next iteration's update — 2 actions/iter:
+    # materialize + fused stats).
+    scal = state.agg(
+        F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
+        F.sum("rank").alias("total"),
+    ).collect()[0]
+    dangling = float(scal["dm"] or 0.0)
+    total_mass = float(scal["total"] or 0.0)
+
+    it = start_iter
+    while it < total_iters:
+        t_it = time.monotonic()
+        w = state.filter(F.col("out_deg") > 0).select(
+            F.col("id").alias("src"), (F.col("rank") / F.col("out_deg")).alias("w")
+        )
+        if hubs is not None:
+            hub_ids, e_hub, e_tail = hubs
+            w_hub = w.join(F.broadcast(hub_ids), w.src == hub_ids.id, "left_semi")
+            contrib_in = e_hub.join(F.broadcast(w_hub), "src").unionByName(
+                e_tail.join(w, "src")
+            )
+        else:
+            contrib_in = e.join(w, "src")
+        contribs = contrib_in.groupBy("dst").agg(F.sum("w").alias("contrib"))
+
+        # the previous rank rides along as `pr`, so the per-iteration stats
+        # (L1 delta, next dangling mass, total) are a scan-agg over the new
+        # state — no old-vs-new join, ONE fused action per iteration.
+        base = (1.0 - d) / n + d * dangling / n
+        new_state = (
+            state.join(contribs, state.id == contribs.dst, "left")
+            .select(
+                "id",
+                "out_deg",
+                (F.lit(base) + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                F.col("rank").alias("pr"),
+            )
+        )
+
+        do_ckpt = checkpointer is not None and (
+            (it % checkpoint_interval == 0) or it == total_iters - 1
+        )
+        if do_ckpt:
+            committed = checkpointer.commit(it, new_state, {})
+        else:
+            # truncate the logical plan EVERY iteration: state is referenced
+            # twice per step, so an untruncated plan doubles each iteration
+            # and Catalyst analysis blows up around iter ~20 (SURVEY §4.3.1).
+            # The plan here is one iteration deep, so this stays cheap.
+            committed = new_state.localCheckpoint(eager=True)
+
+        st = committed.agg(
+            F.sum(F.abs(F.col("rank") - F.col("pr"))).alias("l1"),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
+            F.sum("rank").alias("total"),
+        ).collect()[0]
+        delta = float(st["l1"] or 0.0)
+        dangling = float(st["dm"] or 0.0)
+        total_mass = float(st["total"] or 0.0)
+        deltas.append(delta)
+
+        if do_ckpt:
+            # amend the committed manifest with the measured metrics
+            checkpointer.amend_metrics(
+                it,
+                {
+                    "l1_delta": delta,
+                    "dangling_mass": dangling,
+                    "total_mass": total_mass,
+                    "iter_seconds": time.monotonic() - t_it,
+                    "edges": float(n_edges),
+                },
+            )
+        state = committed
+        it += 1
+        if fixed_iters is None and delta < tol:
+            break
+
+    elapsed = time.monotonic() - t0
+    iters_run = it - start_iter
+    info = {
+        "iters": it,
+        "iters_run": iters_run,
+        "n_vertices": n,
+        "n_edges": n_edges,
+        "deltas": deltas,
+        "seconds": elapsed,
+        "edges_per_sec": (n_edges * iters_run / elapsed) if elapsed > 0 else float("nan"),
+    }
+    ranks = state.select("id", "rank")
+    e.unpersist()
+    verts.unpersist()
+    if hubs is not None:
+        hubs[1].unpersist()
+        hubs[2].unpersist()
+    return ranks, info

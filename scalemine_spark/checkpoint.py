@@ -1,0 +1,132 @@
+"""Iceberg-style checkpoint sink (SURVEY §2 rows S3, S7).
+
+No Iceberg runtime jar exists in this sandbox (SURVEY §0), so this implements
+the same contract — atomic snapshot commits with per-partition lineage +
+metrics, resumable — as parquet data files plus JSON manifests committed via
+atomic rename. When a real Iceberg catalog is on the classpath, the layout
+maps 1:1 (manifest == Iceberg snapshot metadata).
+
+Layout:
+    <root>/<run_id>/<algo>/iter=<k>/           parquet state files (Spark write)
+    <root>/<run_id>/<algo>/_manifests/<k>.json atomic commit marker:
+        {iter, schema, files: [{path, rows, bytes}], metrics, run_id, algo}
+
+Commit protocol: (1) Spark writes the data dir (overwrite), (2) the manifest
+is assembled from the actual files on disk (per-partition lineage: one entry
+per parquet part file with its row count from the footer), (3) manifest JSON
+is written to a tmp name and os.rename'd — rename is atomic on POSIX, so a
+manifest either exists fully or not at all. `latest()` ignores data dirs
+without manifests, which makes crash-mid-write resume-safe [BASELINE.json:14].
+
+Two Spark actions per commit (write + none — footers are read driver-side via
+pyarrow, no job). Lineage truncation: `commit()` returns a fresh re-read of
+the just-written parquet, which resets the logical plan each iteration
+(SURVEY §4.3.1 — the naive loop grows the plan exponentially).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CheckpointManager:
+    def __init__(self, root: str, run_id: str, algo: str):
+        self.root = root
+        self.run_id = run_id
+        self.algo = algo
+        self.base = os.path.join(root, run_id, algo)
+        self.manifest_dir = os.path.join(self.base, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def data_dir(self, it: int) -> str:
+        return os.path.join(self.base, f"iter={it}")
+
+    def manifest_path(self, it: int) -> str:
+        return os.path.join(self.manifest_dir, f"{it:06d}.json")
+
+    # -- commit ------------------------------------------------------------
+    def commit(self, it: int, state: DataFrame, metrics: dict[str, float]) -> DataFrame:
+        """Atomically commit iteration `it`; returns the re-read state
+        (fresh lineage)."""
+        spark = state.sparkSession
+        ddir = self.data_dir(it)
+        state.write.mode("overwrite").parquet(ddir)
+
+        files = []
+        for name in sorted(os.listdir(ddir)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(ddir, name)
+            md = _pq.read_metadata(fp)
+            files.append({"path": fp, "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+
+        manifest = {
+            "run_id": self.run_id,
+            "algo": self.algo,
+            "iter": it,
+            "schema": state.schema.json(),
+            "files": files,
+            "row_count": sum(f["rows"] for f in files),
+            "metrics": {k: float(v) for k, v in metrics.items()},
+            "committed_at_unix": time.time(),
+        }
+        tmp = self.manifest_path(it) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self.manifest_path(it))  # atomic commit point
+        return spark.read.parquet(ddir)
+
+    def amend_metrics(self, it: int, metrics: dict[str, float]) -> None:
+        """Merge metrics into an already-committed manifest (atomic rewrite).
+        Used when a metric (e.g. L1 delta) is measured on the committed data
+        itself; the manifest stays valid at every instant."""
+        m = self.read_manifest(it)
+        m["metrics"].update({k: float(v) for k, v in metrics.items()})
+        tmp = self.manifest_path(it) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh, indent=1)
+        os.replace(tmp, self.manifest_path(it))
+
+    # -- resume ------------------------------------------------------------
+    def latest(self) -> int | None:
+        """Max committed iteration (valid manifest + data present), else None."""
+        best = None
+        if not os.path.isdir(self.manifest_dir):
+            return None
+        for name in os.listdir(self.manifest_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self.manifest_dir, name)) as fh:
+                    m = json.load(fh)
+                it = int(m["iter"])
+                if all(os.path.exists(f["path"]) for f in m["files"]):
+                    best = it if best is None else max(best, it)
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue  # torn/corrupt manifest == uncommitted
+        return best
+
+    def read_manifest(self, it: int) -> dict:
+        with open(self.manifest_path(it)) as fh:
+            return json.load(fh)
+
+    def read_state(self, spark: SparkSession, it: int) -> DataFrame:
+        return spark.read.parquet(self.data_dir(it))
+
+    def metrics_history(self) -> list[dict]:
+        """S7 — per-iteration metrics rows, ordered by iter."""
+        out = []
+        it = self.latest()
+        if it is None:
+            return out
+        for k in range(it + 1):
+            if os.path.exists(self.manifest_path(k)):
+                m = self.read_manifest(k)
+                out.append({"iter": k, "row_count": m["row_count"], **m["metrics"]})
+        return out

@@ -1,0 +1,211 @@
+"""Stage A — extraction (SURVEY §2 rows X1-X5).
+
+Everything here is vectorized: Arrow-batched pandas UDFs operating on whole
+pandas Series with .str/regex kernels — per-row Python UDFs are banned
+(BASELINE.json:15 "vectorized pandas/Arrow UDFs (no per-row Python)").
+
+Text contract (X1, normative per FIXTURES.md B1): the extracted text of a page
+is the concatenation of the inner texts of its ``<p>...</p>`` blocks joined by
+``"\\n"``, html-entity-decoded, with no other whitespace normalization. The
+fixtures generator writes ``pages.text`` directly from the source blocks
+(never parsing html); this module re-derives it by parsing ``pages.html``.
+The byte-identity acceptance test is meaningful because the two code paths
+are independent.
+
+URL normalization contract (X3, normative):
+  1. html-entity-decode, strip surrounding whitespace
+  2. strip the fragment (first ``#`` to end)
+  3. resolve against the page url: ``scheme://...`` absolute as-is;
+     ``//host/...`` takes the base scheme; ``/path`` takes the base
+     scheme+host; anything else resolves against the base url's directory
+     (no ``..`` handling — out of scope, documented)
+  4. lowercase the scheme and the host only (path/query preserved)
+Only http(s) results become edges.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+# --------------------------------------------------------------------------
+# vectorized html-entity decode (applied batch-wise; matches html.unescape for
+# the entity set produced by html.escape plus numeric refs)
+# --------------------------------------------------------------------------
+
+_NUMERIC_ENT = re.compile(r"&#(x[0-9a-fA-F]+|[0-9]+);")
+
+
+def _dec_numeric(m: re.Match) -> str:
+    v = m.group(1)
+    return chr(int(v[1:], 16)) if v[0] in "xX" else chr(int(v))
+
+
+def unescape_series(s: pd.Series) -> pd.Series:
+    """Entity-decode a Series of str. &amp; is decoded LAST so escaped
+    sequences like ``&amp;lt;`` do not double-decode (mirrors html.escape
+    round-trip)."""
+    s = s.str.replace(_NUMERIC_ENT, _dec_numeric, regex=True)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        s = s.str.replace(ent, ch, regex=False)
+    return s
+
+
+def _to_str(html: pd.Series) -> pd.Series:
+    """BINARY arrives as a Series of bytes objects; decode utf-8."""
+    return html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
+
+
+# --------------------------------------------------------------------------
+# X1 — text extraction: html BINARY -> text STRING (byte-identical per url)
+# --------------------------------------------------------------------------
+
+_P_BLOCK = re.compile(r"<p(?:\s[^>]*)?>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+
+
+def extract_text_batch(html: pd.Series) -> pd.Series:
+    s = _to_str(html)
+    # findall -> list of inner texts per row; join with "\n"; entity-decode.
+    joined = s.str.findall(_P_BLOCK).str.join("\n")
+    return unescape_series(joined.fillna(""))
+
+
+@pandas_udf(StringType())
+def extract_text_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for html in batches:
+        yield extract_text_batch(html)
+
+
+# --------------------------------------------------------------------------
+# X2 — href extraction: html BINARY -> ARRAY<STRING> of raw hrefs
+# --------------------------------------------------------------------------
+
+_HREF = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
+
+
+def extract_hrefs_batch(html: pd.Series) -> pd.Series:
+    s = _to_str(html)
+    return s.str.findall(_HREF)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_hrefs_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for html in batches:
+        yield extract_hrefs_batch(html)
+
+
+# --------------------------------------------------------------------------
+# X3 — url normalization (vectorized; also a (base, href) pandas UDF)
+# --------------------------------------------------------------------------
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+_PARTS_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)(.*)$", re.DOTALL)
+
+
+def normalize_url_batch(base: pd.Series, href: pd.Series) -> pd.Series:
+    href = unescape_series(href.fillna("").astype("string").astype(object)).str.strip()
+    base = base.fillna("").str.strip()
+    # strip fragment
+    href = href.str.split("#", n=1).str[0]
+
+    has_scheme = href.str.match(_SCHEME_RE).fillna(False).to_numpy(dtype=bool)
+    proto_rel = href.str.startswith("//").fillna(False).to_numpy(dtype=bool) & ~has_scheme
+    abs_path = href.str.startswith("/").fillna(False).to_numpy(dtype=bool) & ~proto_rel
+
+    bparts = base.str.extract(_PARTS_RE)
+    bscheme = bparts[0].fillna("https")
+    bhost = bparts[1].fillna("")
+    # base directory = path up to (and incl.) last '/'; '' path -> '/'
+    bpath = bparts[2].fillna("/").str.split("?", n=1).str[0]
+    bdir = bpath.str.replace(r"[^/]*$", "", regex=True)
+    bdir = np.where(bdir.str.len() > 0, bdir, "/")
+
+    resolved = np.where(
+        has_scheme,
+        href,
+        np.where(
+            proto_rel,
+            bscheme + ":" + href,
+            np.where(
+                abs_path,
+                bscheme + "://" + bhost + href,
+                bscheme + "://" + bhost + bdir + href,
+            ),
+        ),
+    )
+    out = pd.Series(resolved, index=href.index, dtype=object)
+    # lowercase scheme + host, preserve the rest
+    parts = out.str.extract(_PARTS_RE)
+    ok = parts[0].notna()
+    rebuilt = parts[0].str.lower() + "://" + parts[1].str.lower() + parts[2].fillna("")
+    out = out.where(~ok, rebuilt)
+    return out
+
+
+@pandas_udf(StringType())
+def normalize_url_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+    for base, href in it:
+        yield normalize_url_batch(base, href)
+
+
+def normalize_url_simple(col: Column) -> Column:
+    """Column-expression fast path for already-absolute urls (X3 'simple
+    cases'): strip fragment + lowercase scheme/host, pure Catalyst codegen."""
+    no_frag = F.regexp_replace(col, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*(.*)$", 1)
+    return F.when(scheme != "", F.concat(scheme, F.lit("://"), host, rest)).otherwise(no_frag)
+
+
+# --------------------------------------------------------------------------
+# X4/X5 + Stage-A composites
+# --------------------------------------------------------------------------
+
+
+def url_id(col: Column) -> Column:
+    """X4 — stable vertex id: xxhash64 of the normalized url (JVM built-in)."""
+    return F.xxhash64(col)
+
+
+def extract_doc_text(pages: DataFrame) -> DataFrame:
+    """X1 as a DataFrame op: (url, text) re-derived from html."""
+    return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
+
+
+def extract_edge_urls(pages: DataFrame, langs: list[str] | None = None) -> DataFrame:
+    """X2+X3(+X5): (src_url, dst_url) normalized link pairs, http(s) only,
+    deduped, self-loops removed."""
+    df = pages
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))  # X5
+    hrefs = df.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_hrefs_udf(F.col("html"))).alias("href"),
+    )
+    dst = normalize_url_udf(F.col("src_url"), F.col("href")).alias("dst_url")
+    out = (
+        hrefs.select("src_url", dst)
+        .filter(F.col("dst_url").rlike("^https?://"))
+        .filter(F.col("dst_url") != F.col("src_url"))
+        .dropDuplicates(["src_url", "dst_url"])
+    )
+    return out
+
+
+def extract_edges(pages: DataFrame, langs: list[str] | None = None) -> DataFrame:
+    """Full Stage A: pages -> (src BIGINT, dst BIGINT) edge table."""
+    pairs = extract_edge_urls(pages, langs)
+    return (
+        pairs.select(url_id(F.col("src_url")).alias("src"), url_id(F.col("dst_url")).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
