@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns (array<float>).
+
+cosine_topk — exact brute-force baseline: broadcast the (small) query set,
+cross-join against the corpus, dot products via zip_with/aggregate (JVM
+higher-order functions — no Python), window top-k.
+
+ann_lsh — the scale path: random-hyperplane LSH signatures (hyperplanes are
+seeded numpy constants embedded as array literals, fully deterministic),
+bucket equi-join, exact re-rank inside the bucket. At 10^12 vectors the
+bucket join replaces the O(N*Q) cross product with O(N) signature hashing
+plus per-bucket candidate lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
+    """(qid, vec_id, cos): exact top-k cosine neighbors per query vector."""
+    qs = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    sims = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def _hyperplanes(n_bits: int, dim: int, seed: int = 1234) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_signature(col: Column, planes: list[list[float]]) -> Column:
+    """Integer LSH signature: bit b = sign(dot(v, plane_b))."""
+    sig = F.lit(0).cast("long")
+    v = _as_double(col)
+    for b, plane in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(v, pl) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh(
+    corpus: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8, dim: int = 64, seed: int = 1234
+) -> DataFrame:
+    """(qid, vec_id, cos): approximate top-k via signature-bucket join +
+    exact cosine re-rank within the bucket."""
+    planes = _hyperplanes(n_bits, dim, seed)
+    c = corpus.withColumn("sig", lsh_signature(F.col("embedding"), planes))
+    qs = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    ).withColumn("sig", lsh_signature(F.col("qv"), planes))
+    cand = c.join(F.broadcast(qs), "sig").filter(F.col("vec_id") != F.col("qid"))
+    sims = cand.select(
+        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,1233 @@
+"""Driver-contract query registry (SURVEY §2 -> __spark_entry__.py).
+
+Every implemented operator row gets a `queries()` entry (spark, sf_dir) ->
+DataFrame and, where SQL-expressible, a DuckDB oracle SQL string over the
+pre-registered views (region nation customer supplier part orders lineitem
+events documents embeddings). Column names/types are aligned on BOTH sides;
+doubles are rounded identically; timestamps are projected to dates/ints.
+
+Graph queries run over a DERIVED edge table (`gedges`) built from orders +
+lineitem keys — deterministic, SQL-expressible in DuckDB, so even the
+iterative algorithms get full value-level oracles (unrolled fixed-iteration
+SQL on the oracle side; the real engine code path on the Spark side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# the derived link graph (shared by G1-G5, A2, A5, A10, J3, J7)
+# ---------------------------------------------------------------------------
+
+GEDGES_CTE = """gedges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT CAST(o_custkey % 400 AS BIGINT) AS src,
+           CAST(400 + o_orderkey % 600 AS BIGINT) AS dst FROM orders
+    UNION ALL
+    SELECT CAST(400 + l_orderkey % 600 AS BIGINT) AS src,
+           CAST(1000 + l_partkey % 300 AS BIGINT) AS dst FROM lineitem
+  ) u WHERE src <> dst
+)"""
+
+SYM_CTE = """sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM gedges
+  UNION
+  SELECT dst AS u, src AS v FROM gedges
+)"""
+
+VERTS_CTE = """verts AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM gedges UNION ALL SELECT dst FROM gedges
+  ) vv
+)"""
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    e1 = o.select(
+        (F.col("o_custkey") % 400).cast("long").alias("src"),
+        (F.lit(400) + F.col("o_orderkey") % 600).cast("long").alias("dst"),
+    )
+    e2 = li.select(
+        (F.lit(400) + F.col("l_orderkey") % 600).cast("long").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 300).cast("long").alias("dst"),
+    )
+    return e1.unionAll(e2).filter(F.col("src") != F.col("dst")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# G1 — PageRank (engine: real iterative job; oracle: unrolled fixed iters)
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_D = 0.85
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, d: float = PR_D) -> str:
+    parts = [
+        GEDGES_CTE,
+        VERTS_CTE,
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts)",
+        "outd AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM gedges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT c FROM nn) AS rank FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"d{p} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank),0) AS dm FROM r{p} r "
+            f"LEFT JOIN outd o ON r.id=o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank/o.od) AS contrib FROM gedges e "
+            f"JOIN r{p} r ON e.src=r.id JOIN outd o ON e.src=o.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.id, "
+            f"((1-{d!r})/(SELECT c FROM nn) + {d!r}*(SELECT dm FROM d{p})/(SELECT c FROM nn)) "
+            f"+ {d!r}*COALESCE(c.contrib, 0) AS rank "
+            f"FROM verts v LEFT JOIN c{k} c ON v.id=c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@q("g1_pagerank", _pagerank_oracle())
+def g1_pagerank(spark, sf_dir):
+    from scalemine_spark.algorithms import pagerank
+
+    ranks, _ = pagerank(graph_edges(spark, sf_dir), d=PR_D, fixed_iters=PR_ITERS)
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# G2 — connected components (engine: large/small-star to convergence;
+# oracle: min-label propagation unrolled far past the graph's diameter)
+# ---------------------------------------------------------------------------
+
+CC_ORACLE_ITERS = 8
+
+
+def _cc_oracle(iters: int = CC_ORACLE_ITERS) -> str:
+    parts = [GEDGES_CTE, SYM_CTE, VERTS_CTE,
+             "c0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT v.id, LEAST(cu.comp, COALESCE(m.mn, cu.comp)) AS comp "
+            f"FROM verts v JOIN c{p} cu ON v.id=cu.id "
+            f"LEFT JOIN (SELECT s.u AS id, MIN(cv.comp) AS mn FROM sym s "
+            f"JOIN c{p} cv ON s.v=cv.id GROUP BY s.u) m ON v.id=m.id)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, comp FROM c{iters}"
+
+
+@q("g2_connected_components", _cc_oracle())
+def g2_cc(spark, sf_dir):
+    from scalemine_spark.algorithms import connected_components
+
+    comps, _ = connected_components(graph_edges(spark, sf_dir))
+    return comps
+
+
+# ---------------------------------------------------------------------------
+# G3 — label propagation, fixed 3 sync iterations, deterministic ties
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    parts = [GEDGES_CTE, SYM_CTE, VERTS_CTE,
+             "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT s.u AS id, c.label, COUNT(*) AS cnt FROM sym s "
+            f"JOIN l{p} c ON s.v=c.id GROUP BY s.u, c.label)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM n{k}) x WHERE rn=1)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{iters}"
+
+
+@q("g3_label_propagation", _lpa_oracle())
+def g3_lpa(spark, sf_dir):
+    from scalemine_spark.algorithms import label_propagation
+
+    labels, _ = label_propagation(graph_edges(spark, sf_dir), iters=LPA_ITERS)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# G4 — triangle count (J7 degree-ordered wedge join; oracle: 3-way self join)
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""WITH {GEDGES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM gedges
+)
+SELECT COUNT(*) AS triangles
+FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b"""
+
+
+@q("g4_triangle_count", _TRI_ORACLE)
+def g4_triangles(spark, sf_dir):
+    from scalemine_spark.algorithms import triangle_count
+
+    return triangle_count(graph_edges(spark, sf_dir))
+
+
+_TRI_PV_ORACLE = f"""WITH {GEDGES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM gedges
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+{VERTS_CTE}
+SELECT v.id, CAST(COALESCE(c.n, 0) AS BIGINT) AS triangles
+FROM verts v LEFT JOIN (SELECT id, COUNT(*) AS n FROM corners GROUP BY id) c
+ON v.id = c.id"""
+
+
+@q("g4b_triangles_per_vertex", _TRI_PV_ORACLE)
+def g4b_triangles_pv(spark, sf_dir):
+    from scalemine_spark.algorithms import triangles_per_vertex
+
+    return triangles_per_vertex(graph_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# G5 / A8 — MNI support of a fixed 3-node path pattern A->B->C where the
+# "labels" are derived vertex classes (id range = the ScaleMine node label).
+# MNI = min over pattern nodes of #distinct graph vertices in valid
+# embeddings (the ScaleMine support metric, SC'16 paper).
+# ---------------------------------------------------------------------------
+
+_MNI_ORACLE = f"""WITH {GEDGES_CTE},
+emb AS MATERIALIZED (
+  SELECT e1.src AS na, e1.dst AS nb, e2.dst AS nc
+  FROM gedges e1 JOIN gedges e2 ON e1.dst = e2.src
+  WHERE e1.src < 400 AND e1.dst >= 400 AND e1.dst < 1000 AND e2.dst >= 1000
+)
+SELECT LEAST(COUNT(DISTINCT na), COUNT(DISTINCT nb), COUNT(DISTINCT nc)) AS mni_support
+FROM emb"""
+
+
+@q("g5_mni_support", _MNI_ORACLE)
+def g5_mni(spark, sf_dir):
+    e = graph_edges(spark, sf_dir)
+    e1 = e.select(F.col("src").alias("na"), F.col("dst").alias("nb"))
+    e2 = e.select(F.col("src").alias("nb"), F.col("dst").alias("nc"))
+    emb = (
+        e1.join(e2, "nb")
+        .filter((F.col("na") < 400) & (F.col("nb") >= 400) & (F.col("nb") < 1000) & (F.col("nc") >= 1000))
+    )
+    return emb.agg(
+        F.least(
+            F.countDistinct("na"), F.countDistinct("nb"), F.countDistinct("nc")
+        ).alias("mni_support")
+    )
+
+
+# ===========================================================================
+# S — scans / sources / sinks
+# ===========================================================================
+
+
+@q("s1_parquet_scan", "SELECT r_regionkey, r_name FROM region")
+def s1_scan(spark, sf_dir):
+    return t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@q(
+    "s4_lg_compat_source",
+    f"""WITH {GEDGES_CTE}, {VERTS_CTE}
+SELECT (SELECT COUNT(*) FROM verts) AS n_vertices,
+       (SELECT COUNT(*) FROM gedges) AS n_edges""",
+)
+def s4_lg_source(spark, sf_dir):
+    """Round-trip the GraMi/ScaleMine `.lg` text format (`v id label` /
+    `e src dst label` lines): write the derived graph out, parse it back with
+    the text source, count. Parser is sources.lg.read_lg."""
+    import os
+    import tempfile
+
+    from scalemine_spark.sources.lg import read_lg, write_lg
+
+    e = graph_edges(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"lg_roundtrip_{abs(hash(sf_dir))}")
+    write_lg(e, path)
+    verts, edges = read_lg(spark, path)
+    return verts.agg(F.count("*").alias("n_vertices")).crossJoin(
+        edges.agg(F.count("*").alias("n_edges"))
+    )
+
+
+@q(
+    "s5_edge_table_sink",
+    f"""WITH {GEDGES_CTE}
+SELECT COUNT(*) AS n_edges, COUNT(DISTINCT src) AS n_src,
+       CAST(MAX(FLOOR(LOG2(od))) AS INT) AS max_src_bucket
+FROM gedges JOIN (SELECT src AS s, CAST(COUNT(*) AS DOUBLE) AS od
+                  FROM gedges GROUP BY src) d ON gedges.src = d.s""",
+)
+def s5_edge_sink(spark, sf_dir):
+    """Write the salted, degree-bucketed edge table (S5) and validate the
+    re-read against the raw edge set."""
+    import tempfile
+
+    from scalemine_spark.graph import write_edge_table
+
+    e = graph_edges(spark, sf_dir)
+    path = f"{tempfile.gettempdir()}/edge_sink_{abs(hash(sf_dir))}"
+    write_edge_table(e, path, n_partitions=8, n_salts=16)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src").alias("n_src"),
+        F.max("src_bucket").alias("max_src_bucket"),
+    )
+
+
+# ===========================================================================
+# P — projections / filters / predicates
+# ===========================================================================
+
+
+@q(
+    "p1_project",
+    """SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue,
+       UPPER(l_returnflag) AS rf FROM lineitem""",
+)
+def p1_project(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.upper("l_returnflag").alias("rf"),
+    )
+
+
+@q(
+    "p2_filter",
+    """SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 50000 AND 150000
+  AND o_orderpriority LIKE '%URGENT%' AND o_custkey IS NOT NULL""",
+)
+def p2_filter(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_totalprice")
+
+
+@q("p3_dedup", "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")
+def p3_dedup(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").dropDuplicates()
+
+
+@q(
+    "p4_self_loop_removal",
+    """SELECT COUNT(*) AS kept FROM (
+  SELECT CAST(o_custkey % 400 AS BIGINT) AS src,
+         CAST(o_orderkey % 400 AS BIGINT) AS dst FROM orders) x
+WHERE src <> dst""",
+)
+def p4_selfloops(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    raw = o.select(
+        (F.col("o_custkey") % 400).cast("long").alias("src"),
+        (F.col("o_orderkey") % 400).cast("long").alias("dst"),
+    )
+    return raw.filter(F.col("src") != F.col("dst")).agg(F.count("*").alias("kept"))
+
+
+# ===========================================================================
+# J — joins
+# ===========================================================================
+
+
+@q(
+    "j1_equi_inner",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+)
+def j1_equi(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "j2_broadcast_hash",
+    """SELECT p_brand, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand""",
+)
+def j2_broadcast(spark, sf_dir):
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@q(
+    "j3_skew_salted_join",
+    """SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey""",
+)
+def j3_salted(spark, sf_dir):
+    from scalemine_spark.operators import salted_join
+
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    o2 = o.withColumnRenamed("o_custkey", "k")
+    c2 = c.withColumnRenamed("c_custkey", "k")
+    j = salted_join(o2, c2, "k", n_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@q(
+    "j4_left_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey""",
+)
+def j4_left(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "j5_left_semi",
+    """SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)""",
+)
+def j5_semi(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return c.join(
+        o.filter(F.col("o_totalprice") > 100000), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@q(
+    "j6_left_anti",
+    """SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def j6_anti(spark, sf_dir):
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "j8_range_join",
+    """SELECT e1.user_id, COUNT(*) AS n_followups
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.user_id""",
+)
+def j8_range(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    e1 = ev.select(F.col("user_id"), F.col("ts").alias("ts1"))
+    e2 = ev.select(F.col("user_id").alias("u2"), F.col("ts").alias("ts2"))
+    j = e1.join(
+        e2,
+        (e1.user_id == e2.u2)
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTE")),
+    )
+    return j.groupBy("user_id").agg(F.count("*").alias("n_followups"))
+
+
+@q(
+    "j9_asof_join",
+    """SELECT user_id, last_value, last_event FROM (
+  SELECT e.user_id, e.value AS last_value, e.event_id AS last_event,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM events e WHERE e.ts <= TIMESTAMP '2024-01-15 00:00:00') x
+WHERE rn = 1""",
+)
+def j9_asof(spark, sf_dir):
+    """As-of: latest event per user at a fixed cutoff (window formulation —
+    Spark has no native as-of; operators.asof_join is the general form)."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("ts") <= F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("value").alias("last_value"), F.col("event_id").alias("last_event")
+        )
+    )
+
+
+@q(
+    "j10_theta_join",
+    """SELECT n1.n_name AS a, COUNT(*) AS n
+FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+GROUP BY n1.n_name""",
+)
+def j10_theta(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_name").alias("a"), F.col("n_regionkey").alias("r1"))
+    n2 = n.select(F.col("n_regionkey").alias("r2"))
+    return (
+        n1.join(n2, F.col("r1") < F.col("r2"))
+        .groupBy("a")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "j11_cross_join",
+    "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2",
+)
+def j11_cross(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    return r.select(F.col("r_name").alias("a")).crossJoin(r.select(F.col("r_name").alias("b")))
+
+
+# ===========================================================================
+# A — aggregations
+# ===========================================================================
+
+
+@q(
+    "a1_hash_agg",
+    """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def a1_hashagg(spark, sf_dir):
+    """TPC-H Q1-shaped partial+final hash aggregation."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "a2_degree_count",
+    f"WITH {GEDGES_CTE} SELECT src AS id, COUNT(*) AS out_deg FROM gedges GROUP BY src",
+)
+def a2_degrees(spark, sf_dir):
+    from scalemine_spark.graph import out_degrees
+
+    return out_degrees(graph_edges(spark, sf_dir))
+
+
+@q(
+    "a3_distinct_agg",
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+FROM orders GROUP BY o_orderpriority""",
+)
+def a3_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"))
+    )
+
+
+@q("a4_approx_distinct")  # HLL sketches differ across engines -> rows-only
+def a4_approx(spark, sf_dir):
+    """approx_count_distinct (HLL++): exactness asserted in pytest within rsd."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@q(
+    "a5_hash_to_min",
+    f"""WITH {GEDGES_CTE}, {SYM_CTE}
+SELECT u AS id, MIN(v) AS min_nbr FROM sym GROUP BY u""",
+)
+def a5_hash_to_min(spark, sf_dir):
+    from scalemine_spark.graph import symmetrize
+
+    sym = symmetrize(graph_edges(spark, sf_dir))
+    return sym.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("min_nbr"))
+
+
+@q(
+    "a6_mode_agg",
+    f"""WITH {GEDGES_CTE},
+cnt AS (SELECT src, dst % 10 AS bucket, COUNT(*) AS c FROM gedges GROUP BY src, dst % 10)
+SELECT src, bucket AS mode_bucket FROM (
+  SELECT src, bucket, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, bucket ASC) rn
+  FROM cnt) x WHERE rn = 1""",
+)
+def a6_mode(spark, sf_dir):
+    """Mode with deterministic smallest-value tie-break (the LPA kernel A6)."""
+    e = graph_edges(spark, sf_dir).withColumn("bucket", F.col("dst") % 10)
+    cnt = e.groupBy("src", "bucket").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("src")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("bucket")).alias("nb"))).alias("m"))
+        .select("src", (-F.col("m.nb")).alias("mode_bucket"))
+    )
+
+
+@q(
+    "a7_global_agg",
+    """SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty,
+       ROUND(SUM(l_extendedprice), 2) AS price,
+       CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+       CAST(MAX(l_shipdate) AS DATE) AS last_ship
+FROM lineitem""",
+)
+def a7_global(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+    )
+
+
+@q(
+    "a9_rollup",
+    """SELECT r_name, n_name, COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)""",
+)
+def a9_rollup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(r, n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(F.count("*").alias("n_cust"))
+
+
+@q(
+    "a10_degree_histogram",
+    f"""WITH {GEDGES_CTE},
+deg AS (SELECT id, COUNT(*) AS d FROM (
+    SELECT src AS id FROM gedges UNION ALL SELECT dst FROM gedges) x GROUP BY id)
+SELECT CAST(FLOOR(LOG2(CAST(d AS DOUBLE))) AS INT) AS bucket,
+       COUNT(*) AS n_vertices, SUM(d) AS sum_deg
+FROM deg GROUP BY 1""",
+)
+def a10_histogram(spark, sf_dir):
+    from scalemine_spark.graph import degree_histogram
+
+    return degree_histogram(graph_edges(spark, sf_dir))
+
+
+# ===========================================================================
+# W — window functions
+# ===========================================================================
+
+
+@q(
+    "w1_ranking",
+    """SELECT c_custkey, c_mktsegment, rn, rnk, drnk FROM (
+  SELECT c_custkey, c_mktsegment,
+         ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) x
+WHERE rn <= 5""",
+)
+def w1_ranking(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@q(
+    "w2_lag_lead",
+    """SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER w, 6) AS dv_prev,
+       ROUND(LEAD(value) OVER w - value, 6) AS dv_next
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def w2_lag_lead(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("dv_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 6).alias("dv_next"),
+    )
+
+
+@q(
+    "w3_frame_agg",
+    """SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running
+FROM events""",
+)
+def w3_frame(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running")
+    )
+
+
+@q(
+    "w4_ntile_percent_rank",
+    """SELECT c_custkey, NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pr
+FROM customer WINDOW w AS (ORDER BY c_acctbal, c_custkey)""",
+)
+def w4_ntile(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+    )
+
+
+# ===========================================================================
+# O — sorts / limits / top-k / set ops
+# ===========================================================================
+
+
+@q(
+    "o1_global_sort",
+    """SELECT o_orderkey, o_totalprice, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+FROM orders QUALIFY pos <= 100""",
+)
+def o1_sort(spark, sf_dir):
+    """Global total-order sort (range-partitioned at scale); positions make
+    the order itself checkable under the driver's order-insensitive hash."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos"))
+        .filter(F.col("pos") <= 100)
+        .orderBy("pos")
+    )
+
+
+@q(
+    "o2_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def o2_topk(spark, sf_dir):
+    """TakeOrderedAndProject — top-k without a full sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "o3_group_topk",
+    """SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+  FROM orders) x WHERE rn <= 2""",
+)
+def o3_group_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+@q(
+    "o4_union",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+)
+def o4_union(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+        .union(c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+        .distinct()
+    )
+
+
+@q(
+    "o5_intersect_except",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+SELECT k, 'both' AS tag FROM (SELECT k FROM a INTERSECT SELECT k FROM b) x
+UNION ALL
+SELECT k, 'only_open' AS tag FROM (SELECT k FROM a EXCEPT SELECT k FROM b) y""",
+)
+def o5_setops(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k")).distinct()
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k")).distinct()
+    both = a.intersect(b).withColumn("tag", F.lit("both"))
+    only = a.exceptAll(b).withColumn("tag", F.lit("only_open"))
+    return both.unionAll(only)
+
+
+# ===========================================================================
+# F — scalar function groups (each group = one parity query)
+# ===========================================================================
+
+
+@q(
+    "f1_string_funcs",
+    """SELECT p_partkey,
+       LOWER(p_name) AS lname,
+       SUBSTRING(p_type, 1, 6) AS type6,
+       LENGTH(p_name) AS name_len,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type,
+       TRIM(p_brand) AS tbrand,
+       REGEXP_EXTRACT(p_type, '([A-Z]+)', 1) AS first_word,
+       LEVENSHTEIN(p_brand, 'Brand#11') AS lev
+FROM part""",
+)
+def f1_string(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.substring("p_type", 1, 6).alias("type6"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.trim("p_brand").alias("tbrand"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+    )
+
+
+@q(
+    "f2_hash_funcs",
+    "SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha FROM customer",
+)
+def f2_hash(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("h_md5"),
+        F.sha2("c_name", 256).alias("h_sha"),
+    )
+
+
+@q(
+    "f3_datetime_funcs",
+    """SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since
+FROM orders""",
+)
+def f3_datetime(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("2024-01-01"))).alias("days_since"),
+    )
+
+
+@q(
+    "f4_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+       ROUND(LN(l_quantity + 1), 6) AS log_qty,
+       ROUND(POW(l_discount, 2), 9) AS disc_sq,
+       ABS(ROUND(l_extendedprice - 50000, 2)) AS dist,
+       GREATEST(l_quantity, l_discount * 100) AS g,
+       LEAST(l_tax, l_discount) AS l
+FROM lineitem""",
+)
+def f4_math(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log(F.col("l_quantity") + 1), 6).alias("log_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 9).alias("disc_sq"),
+        F.abs(F.round(F.col("l_extendedprice") - 50000, 2)).alias("dist"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("g"),
+        F.least("l_tax", "l_discount").alias("l"),
+    )
+
+
+@q(
+    "f5_array_funcs",
+    """SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       string_split(text, ' ')[1] AS first_word,
+       list_sort(string_split(text, ' '))[1] AS min_word,
+       array_to_string(list_slice(list_sort(string_split(text, ' ')), 1, 3), '|') AS top3
+FROM documents""",
+)
+def f5_array(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(F.array_sort(words), 1).alias("min_word"),
+        F.concat_ws("|", F.slice(F.array_sort(words), 1, 3)).alias("top3"),
+    )
+
+
+@q(
+    "f6_map_struct_funcs",
+    """SELECT o_orderkey,
+       o_orderstatus AS status_from_map,
+       o_totalprice AS price_from_struct
+FROM orders""",
+)
+def f6_map_struct(spark, sf_dir):
+    """Round-trip values through MAP and STRUCT containers (the checkpoint
+    metrics shapes) — semantically the identity, so the oracle is direct."""
+    o = t(spark, sf_dir, "orders")
+    m = F.create_map(F.lit("status"), F.col("o_orderstatus"))
+    s = F.struct(F.col("o_totalprice").alias("price"), F.col("o_orderkey").alias("k"))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_from_map"),
+        s.getField("price").alias("price_from_struct"),
+    )
+
+
+@q(
+    "f7_json_funcs",
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events""",
+)
+def f7_json(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@q(
+    "f8_conditional_funcs",
+    """SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'big'
+            WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status2
+FROM orders""",
+)
+def f8_cond(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status2"),
+    )
+
+
+# ===========================================================================
+# D — training-data pipeline ops over `documents` / `embeddings`
+# (deduplication, similarity search, text analysis, fingerprinting)
+# ===========================================================================
+
+
+@q(
+    "d1_dedup_exact",
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)""",
+)
+def d1_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy; keeper = min doc_id (deterministic)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@q(
+    "d2_ngram_jaccard",
+    """WITH words AS MATERIALIZED (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM words GROUP BY doc_id),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+  FROM words a JOIN words b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id1, id2, ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+FROM cand JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.5""",
+)
+def d2_jaccard(spark, sf_dir):
+    """Word-set Jaccard near-dup pairs (>=0.5) within a language — the
+    shingle-join formulation that scales: explode -> self-join on shingle ->
+    count -> |A∩B| / (|A|+|B|-|A∩B|)."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.select(F.col("doc_id").alias("id1"), "lang", "w")
+    b = words.select(F.col("doc_id").alias("id2"), F.col("lang").alias("lang2"), F.col("w").alias("w2"))
+    cand = (
+        a.join(b, (a.w == b.w2) & (a.lang == b.lang2) & (a.id1 < b.id2))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(jac >= 0.5)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@q("d3_minhash_lsh")  # xxhash64 not available in DuckDB -> rows-only + pytest
+def d3_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: word shingles -> K minhashes
+    (xxhash64 with per-permutation seeds) -> B bands -> bucket self-join.
+    Scale path: candidates only ever compare within a bucket."""
+    from scalemine_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), num_hashes=16, bands=4
+    )
+
+
+@q("d4_simhash")  # bit-level hashing not portable to the oracle -> rows-only
+def d4_simhash(spark, sf_dir):
+    """64-bit SimHash per document + hamming-ball (<=3 bits) candidate pairs."""
+    from scalemine_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "d5_embedding_cosine_topk",
+    """WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+sims AS MATERIALIZED (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+)
+SELECT qid, vec_id, cos FROM (
+  SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) rn
+  FROM sims) x WHERE rn <= 3""",
+)
+def d5_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (the exact baseline; the
+    LSH-bucketed variant is d6). JVM-side higher-order functions, no UDF."""
+    from scalemine_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@q("d6_ann_lsh")  # approximate by construction -> rows-only + pytest recall
+def d6_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN: 8-bit signatures, bucket join, exact cosine
+    re-rank within bucket. Approximate recall asserted in pytest."""
+    from scalemine_spark.operators.similarity import ann_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_lsh(emb, emb.filter(F.col("vec_id") < 5), k=3, n_bits=8)
+
+
+@q(
+    "d7_language_id",
+    """SELECT doc_id, lang,
+       CASE WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ') THEN 'en'
+            WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
+            WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' et ') THEN 'fr'
+            WHEN contains(' ' || text || ' ', ' el ') OR contains(' ' || text || ' ', ' que ') THEN 'es'
+            ELSE 'other' END AS lang_guess
+FROM documents""",
+)
+def d7_lang_id(spark, sf_dir):
+    """Stopword-heuristic language ID (accuracy vs the `lang` column is
+    asserted in pytest; the query itself is the deterministic rule)."""
+    d = t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def has(wordlist):
+        c = F.lit(False)
+        for wd in wordlist:
+            c = c | F.contains(padded, F.lit(f" {wd} "))
+        return c
+
+    guess = (
+        F.when(has(["the", "and"]), "en")
+        .when(has(["der", "und"]), "de")
+        .when(has(["le", "et"]), "fr")
+        .when(has(["el", "que"]), "es")
+        .otherwise("other")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@q(
+    "d8_quality_score",
+    """SELECT doc_id,
+       LENGTH(text) AS n_chars_m,
+       len(string_split(text, ' ')) AS n_tokens,
+       ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND(CAST(LENGTH(text) AS DOUBLE) / GREATEST(len(string_split(text, ' ')), 1), 6) AS avg_token_len
+FROM documents""",
+)
+def d8_quality(spark, sf_dir):
+    """Quality-scoring features: length, token count, punctuation ratio,
+    mean token length (the classic webtext quality filters)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    n_chars = F.length("text")
+    punct_removed = F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - punct_removed).cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias("avg_token_len"),
+    )
+
+
+@q(
+    "d9_fingerprint",
+    """SELECT doc_id, md5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents""",
+)
+def d9_fingerprint(spark, sf_dir):
+    """Whitespace/case-canonicalized document fingerprint (md5)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fingerprint"),
+    )
+
+
+@q(
+    "d10_token_count",
+    """SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+FROM documents""",
+)
+def d10_tokens(spark, sf_dir):
+    """Token counting: whitespace + a BPE-ish regex (alnum runs or single
+    punctuation marks)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
