@@ -63,6 +63,7 @@ def pagerank(
     checkpoint_interval: int = 1,
     num_partitions: int | None = None,
     hub_threshold: int | None = None,
+    with_prev: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DF (id, rank), info dict with iters/deltas/edges_per_sec).
 
@@ -188,7 +189,9 @@ def pagerank(
         "seconds": elapsed,
         "edges_per_sec": (n_edges * iters_run / elapsed) if elapsed > 0 else float("nan"),
     }
-    ranks = state.select("id", "rank")
+    # with_prev exposes the previous iteration's vector too (id, rank, pr) —
+    # the U6 cogroup consumer diffs consecutive snapshots without a join.
+    ranks = state.select("id", "rank", "pr") if with_prev else state.select("id", "rank")
     e.unpersist()
     verts.unpersist()
     if hubs is not None:

@@ -14,8 +14,9 @@ SQL on the oracle side; the real engine code path on the Spark side).
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator  # noqa: F401 (UDF annotations)
 
+import pandas as pd  # noqa: F401 (resolved by pandas_udf from module globals)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1231,3 +1232,450 @@ def d10_tokens(spark, sf_dir):
             "bpe_ish_tokens"
         ),
     )
+
+
+# ===========================================================================
+# X — extraction rows (pages is engine-synthesized; not a DuckDB view ->
+# rows-only driver checks; byte-identity is pinned exactly in pytest)
+# ===========================================================================
+
+
+def _pages(spark, n=1000):
+    import os
+
+    from scalemine_spark.fixtures import materialize_pages
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ppath, epath = materialize_pages(
+        "/root/testdata/sf0.001/documents.parquet",
+        os.path.join(repo, ".cache"),
+        n_pages=n,
+        seed=42,
+    )
+    return spark.read.parquet(ppath), spark.read.parquet(epath)
+
+
+@q("x1_text_extraction")
+def x1_text(spark, sf_dir):
+    """Self-checking: (pages, byte-identity mismatches) — mismatches must be 0."""
+    from scalemine_spark.extract import extract_doc_text
+
+    pages, _ = _pages(spark)
+    derived = extract_doc_text(pages).withColumnRenamed("text", "etext").dropDuplicates(["url"])
+    j = pages.join(derived, "url")
+    return j.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("text").eqNullSafe(F.col("etext")), 0).otherwise(1)).alias("n_mismatches"),
+    )
+
+
+@q("x2_href_extraction")
+def x2_hrefs(spark, sf_dir):
+    from scalemine_spark.extract import extract_edge_urls
+
+    pages, expected = _pages(spark)
+    got = extract_edge_urls(pages)
+    return got.agg(F.count("*").alias("n_edges")).crossJoin(
+        got.exceptAll(expected)
+        .unionAll(expected.exceptAll(got))
+        .agg(F.count("*").alias("sym_diff"))
+    )
+
+
+@q("x3_url_normalization")
+def x3_norm(spark, sf_dir):
+    from scalemine_spark.extract import extract_edge_urls
+
+    pages, _ = _pages(spark)
+    hosts = extract_edge_urls(pages).select(
+        F.regexp_extract("dst_url", r"^https?://([^/]+)", 1).alias("host")
+    )
+    bad = hosts.filter(F.col("host") != F.lower(F.col("host"))).count()
+    return hosts.agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.lit(bad).alias("n_uppercase_hosts"),
+    )
+
+
+@q("x4_vertex_ids")
+def x4_ids(spark, sf_dir):
+    """xxhash64 id assignment: zero collisions across the url universe."""
+    from scalemine_spark.extract import url_id
+
+    pages, _ = _pages(spark)
+    u = pages.select("url").distinct()
+    return u.agg(
+        F.count("*").alias("n_urls"),
+        (F.count("*") - F.countDistinct(url_id(F.col("url")))).alias("n_collisions"),
+    )
+
+
+@q(
+    "x5_language_filter",
+    "SELECT lang, COUNT(*) AS n FROM documents WHERE lang IN ('en','de','fr') GROUP BY lang",
+)
+def x5_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("lang").isin("en", "de", "fr")).groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ===========================================================================
+# S — remaining source/sink rows
+# ===========================================================================
+
+
+@q("s2_pages_source")
+def s2_pages(spark, sf_dir):
+    """Schema-enforced pages read (S2); html must NOT be scanned for this
+    projection (column pruning — asserted via ReadSchema in pytest)."""
+    import os
+
+    from scalemine_spark.sources.pages import read_pages
+
+    pages, _ = _pages(spark)  # ensures the fixture exists
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, ".cache", "pages_n1000_s42", "pages.parquet")
+    df = read_pages(spark, path)
+    return df.groupBy("lang").agg(F.count("*").alias("n_pages"))
+
+
+@q(
+    "s3_checkpoint_sink",
+    f"""WITH {GEDGES_CTE}, {VERTS_CTE}
+SELECT CAST(i AS INT) AS iter, (SELECT COUNT(*) FROM verts) AS row_count
+FROM range(3) t(i)""",
+)
+def s3_checkpoint(spark, sf_dir):
+    """Run a 3-iteration checkpointed PageRank; the manifests' per-iteration
+    row counts must equal |V| (full lineage present for every iter)."""
+    import shutil
+    import tempfile
+
+    from scalemine_spark.algorithms import pagerank
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    root = tempfile.mkdtemp(prefix="ckq_")
+    try:
+        ck = CheckpointManager(root, "driverq", "pagerank")
+        pagerank(graph_edges(spark, sf_dir), fixed_iters=3, checkpointer=ck)
+        hist = ck.metrics_history()
+        return spark.createDataFrame(
+            [(int(h["iter"]), int(h["row_count"])) for h in hist],
+            "iter int, row_count long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q("s6_streaming_pages_source")
+def s6_stream_pages(spark, sf_dir):
+    """Pages as an unbounded stream (S6): same schema, micro-batch ingest."""
+    import os
+
+    from scalemine_spark.sources.pages import read_pages_stream
+    from scalemine_spark.streaming import run_stream_to_memory
+
+    _pages(spark)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, ".cache", "pages_n1000_s42", "pages.parquet")
+    s = read_pages_stream(spark, path)
+    agg = s.groupBy("lang").agg(F.count("*").alias("n_pages"))
+    return run_stream_to_memory(agg, "complete")
+
+
+@q("s7_metrics_sink")
+def s7_metrics(spark, sf_dir):
+    """Append-mode metrics/lineage rows (S7): one row per (iter, partition)."""
+    import shutil
+    import tempfile
+
+    from scalemine_spark.algorithms import pagerank
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    root = tempfile.mkdtemp(prefix="ckm_")
+    try:
+        ck = CheckpointManager(root, "driverq", "pagerank")
+        pagerank(graph_edges(spark, sf_dir), fixed_iters=2, checkpointer=ck)
+        rows = []
+        for it in range(ck.latest() + 1):
+            m = ck.read_manifest(it)
+            for pi, fentry in enumerate(m["files"]):
+                rows.append((m["algo"], int(m["iter"]), pi, int(fentry["rows"])))
+        return spark.createDataFrame(rows, "algo string, iter int, part_id int, rows long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ===========================================================================
+# U — vectorized UDF / UDAF / UDTF surface
+# ===========================================================================
+
+
+@q(
+    "u1_scalar_pandas_udf",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents",
+)
+def u1_pandas_udf(spark, sf_dir):
+    """Iterator-of-series pandas UDF (the X1/X2 kernel shape) computing word
+    counts — oracle-checkable against pure SQL."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(IntegerType())
+    def n_words(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.str.split(" ").str.len().astype("int32")
+
+    return t(spark, sf_dir, "documents").select("doc_id", n_words("text").alias("n_words"))
+
+
+@q(
+    "u2_grouped_map_csr",
+    f"""WITH {GEDGES_CTE}
+SELECT CAST(src % 8 AS INT) AS part_id,
+       COUNT(DISTINCT src) AS n_src, COUNT(*) AS n_edges
+FROM gedges GROUP BY CAST(src % 8 AS INT)""",
+)
+def u2_csr(spark, sf_dir):
+    """applyInPandas CSR block build (U2); block stats must reconcile with
+    the raw edge table."""
+    from scalemine_spark.graph import build_csr_blocks
+
+    csr = build_csr_blocks(graph_edges(spark, sf_dir), num_blocks=8)
+    return csr.select(
+        "part_id",
+        F.size("src_ids").cast("long").alias("n_src"),
+        F.size("indices").cast("long").alias("n_edges"),
+    )
+
+
+@q(
+    "u3_mapinarrow_spmv",
+    f"""WITH {GEDGES_CTE}, {VERTS_CTE},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),
+outd AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM gedges GROUP BY src)
+SELECT e.dst, ROUND(SUM((1.0/(SELECT c FROM nn))/o.od), 9) AS contrib
+FROM gedges e JOIN outd o ON e.src = o.id GROUP BY e.dst""",
+)
+def u3_spmv(spark, sf_dir):
+    from scalemine_spark.operators.spmv import pagerank_first_contribs
+
+    return pagerank_first_contribs(graph_edges(spark, sf_dir))
+
+
+@q(
+    "u4_grouped_agg_udaf",
+    f"""WITH {GEDGES_CTE},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM gedges GROUP BY src)
+SELECT CAST(id % 4 AS INT) AS grp,
+       ROUND(SUM(CAST(d AS DOUBLE) * d) / SUM(CAST(d AS DOUBLE)), 6) AS weighted_mean_deg
+FROM deg GROUP BY CAST(id % 4 AS INT)""",
+)
+def u4_udaf(spark, sf_dir):
+    """Grouped-agg pandas UDAF: degree-weighted mean degree per group."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(d: pd.Series) -> float:
+        dd = d.astype("float64")
+        return float((dd * dd).sum() / dd.sum())
+
+    deg = (
+        graph_edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .withColumn("grp", (F.col("src") % 4).cast("int"))
+    )
+    return deg.groupBy("grp").agg(F.round(wmean("d"), 6).alias("weighted_mean_deg"))
+
+
+@q(
+    "u5_udtf",
+    """SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+FROM documents WHERE doc_id < 10""",
+)
+def u5_udtf(spark, sf_dir):
+    """Python UDTF (Spark 4.x) exploding text into distinct words."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string")
+    class Words:
+        def eval(self, text: str):
+            seen = set()
+            for w in (text or "").split(" "):
+                if w not in seen:
+                    seen.add(w)
+                    yield (w,)
+
+    spark.udtf.register("words_udtf", Words)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10).createOrReplaceTempView(
+        "docs_u5"
+    )
+    return spark.sql(
+        "SELECT doc_id, w.word FROM docs_u5, LATERAL words_udtf(text) w"
+    )
+
+
+@q("u6_cogrouped_map")
+def u6_cogroup(spark, sf_dir):
+    """Cogrouped applyInPandas: join-free per-key merge of two rank snapshots
+    (iters 4 and 5) into per-vertex deltas. Oracle via pagerank layers is
+    attached below (ORACLES['u6_cogrouped_map'])."""
+    import pandas as pd
+
+    from scalemine_spark.algorithms import pagerank
+
+    state, _ = pagerank(graph_edges(spark, sf_dir), fixed_iters=5, with_prev=True)
+    r5 = state.select("id", "rank")
+    r4 = state.select("id", F.col("pr").alias("rank"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        m = left.merge(right, on="id", suffixes=("_5", "_4"))
+        m["delta"] = (m["rank_5"] - m["rank_4"]).round(9)
+        return m[["id", "delta"]]
+
+    return (
+        r5.groupBy("id")
+        .cogroup(r4.groupBy("id"))
+        .applyInPandas(merge, "id long, delta double")
+    )
+
+
+def _u6_oracle() -> str:
+    base = _pagerank_oracle(iters=5)
+    head = base.rsplit("\nSELECT", 1)[0]
+    return head + (
+        "\nSELECT r5.id, ROUND(r5.rank - r4.rank, 9) AS delta "
+        "FROM r5 JOIN r4 ON r5.id = r4.id"
+    )
+
+
+ORACLES["u6_cogrouped_map"] = _u6_oracle()
+
+
+# ===========================================================================
+# T — structured streaming (drained through a memory sink to a batch DF)
+# ===========================================================================
+
+
+@q(
+    "t1_stream_ingest",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def t1_stream(spark, sf_dir):
+    from scalemine_spark.streaming import stream_type_counts
+
+    return stream_type_counts(spark, sf_dir)
+
+
+@q("t2_watermark_late_data")  # emitted set depends on batch boundaries
+def t2_watermark(spark, sf_dir):
+    from scalemine_spark.streaming.jobs import watermarked_window_counts
+
+    return watermarked_window_counts(spark, sf_dir)
+
+
+@q(
+    "t3_tumbling_window",
+    """SELECT strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n FROM events GROUP BY 1""",
+)
+def t3_tumbling(spark, sf_dir):
+    from scalemine_spark.streaming import tumbling_window_counts
+
+    return tumbling_window_counts(spark, sf_dir, minutes=10)
+
+
+@q(
+    "t4_session_window",
+    """WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid""",
+)
+def t4_session(spark, sf_dir):
+    from scalemine_spark.streaming import session_windows_stream
+
+    return session_windows_stream(spark, sf_dir, gap_minutes=30)
+
+
+@q(
+    "t5_stream_dedup",
+    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+)
+def t5_dedup(spark, sf_dir):
+    from scalemine_spark.streaming import stream_dedup_count
+
+    return stream_dedup_count(spark, sf_dir)
+
+
+@q(
+    "t6_stateful_counts",
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def t6_stateful(spark, sf_dir):
+    from scalemine_spark.streaming import stateful_user_counts
+
+    return stateful_user_counts(spark, sf_dir)
+
+
+# ===========================================================================
+# M — multimodal binary columns (decode stubbed: no image libs in container)
+# ===========================================================================
+
+
+@q(
+    "m1_binary_metadata",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       lower(hex(encode(substring(text, 1, 4)))) AS magic_hex
+FROM documents WHERE LENGTH(text) >= 4""",
+)
+def m1_binary_meta(spark, sf_dir):
+    """mapInPandas metadata over an opaque BINARY payload. (The fixture
+    payload is utf-8 text bytes, so the leading-4-byte magic equals the hex
+    of the first 4 chars for ASCII-leading docs; DuckDB oracle computes the
+    same from the string side.)"""
+    from scalemine_spark.functions.multimodal import binary_metadata, with_binary_payload
+
+    d = t(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    return binary_metadata(with_binary_payload(d))
+
+
+@q("m2_image_decode_stub")
+def m2_decode(spark, sf_dir):
+    """Deterministic decode stand-in (real decode_image is import-try gated
+    on PIL and raises NotImplementedError here)."""
+    from scalemine_spark.functions.multimodal import fake_decode, with_binary_payload
+
+    d = t(spark, sf_dir, "documents")
+    return fake_decode(with_binary_payload(d))
+
+
+@q(
+    "m3_frame_sample",
+    """WITH f AS (SELECT CAST(x AS INT) AS fi FROM generate_series(0, 100000, 4) t(x)),
+d AS (SELECT doc_id, octet_length(encode(text)) // 256 AS n_frames FROM documents)
+SELECT doc_id, fi AS frame_idx, CAST(256 AS BIGINT) AS frame_bytes
+FROM d JOIN f ON fi < n_frames""",
+)
+def m3_frames(spark, sf_dir):
+    from scalemine_spark.functions.multimodal import frame_sample, with_binary_payload
+
+    d = t(spark, sf_dir, "documents")
+    return frame_sample(with_binary_payload(d), block_bytes=256, every_k=4)

@@ -25,8 +25,12 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_pages_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    return (
-        spark.readStream.schema(PAGES)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(path)
-    )
+    """`path` may be a directory or a single parquet file (the file source
+    requires a directory, so a file path becomes dir + pathGlobFilter)."""
+    import os
+
+    reader = spark.readStream.schema(PAGES).option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)

@@ -1,0 +1,137 @@
+"""T — Structured Streaming surface (SURVEY §2 T1-T6).
+
+All jobs read the `events` parquet as a file-source stream (the driver's
+stream replay table, TESTDATA.md) or the synthesized `pages` table (T1/S6),
+run a streaming transformation, and drain synchronously into a memory sink
+(processAllAvailable) so batch-style callers — tests and the driver's
+queries() harness — get a plain DataFrame back. The transformations are
+exactly what would run against a real unbounded source; only the sink/drain
+is test-shaped.
+
+Every batch aggregation here has a streaming-legal shape: complete-mode aggs
+for unwindowed groupBys, watermarked windows for append mode, and
+applyInPandasWithState for arbitrary state (T6).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file source needs a directory; glob-filter down to the events table
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming DF into an in-memory table, return it as batch."""
+    name = "m" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — streaming ingest + running aggregation by event_type."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_stream_to_memory(agg, "complete")
+
+
+def tumbling_window_counts(spark: SparkSession, sf_dir: str, minutes: int = 10) -> DataFrame:
+    """T3 — tumbling event-time windows (complete mode; watermarked append
+    variant in T2 test). Returns (window_start STRING, n)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", f"{minutes} minutes")).agg(F.count("*").alias("n"))
+    out = run_stream_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+def watermarked_window_counts(spark: SparkSession, sf_dir: str, minutes: int = 10) -> DataFrame:
+    """T2 — watermark + append mode: only windows sealed by the watermark are
+    emitted (late data beyond 30 min is dropped). Exact emitted set depends
+    on batch boundaries -> rows-only in the driver check; pytest pins the
+    semantics with a controlled two-batch replay."""
+    # watermarks require TIMESTAMP (tz-aware); session tz is pinned UTC
+    s = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "30 minutes")
+    )
+    agg = s.groupBy(F.window("ts", f"{minutes} minutes")).agg(F.count("*").alias("n"))
+    out = run_stream_to_memory(agg, "append")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"), "n"
+    )
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """T4 — per-user session windows (gap-based)."""
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", f"{gap_minutes} minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_stream_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — exactly-once-style dedup across micro-batches."""
+    s = read_events_stream(spark, sf_dir).dropDuplicates(["event_id"])
+    agg = s.groupBy(F.lit(1).alias("one")).agg(F.count("*").alias("n_unique"))
+    return run_stream_to_memory(agg, "complete").select("n_unique")
+
+
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — arbitrary stateful processing: per-user event counters kept in
+    explicit state via applyInPandasWithState. Final counter per user equals
+    the batch count (the oracle)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+
+    def fn(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_stream_to_memory(out, "update")
+    # last update per user == final counter
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
