@@ -1,0 +1,125 @@
+"""spark-submit entry point [BASELINE.json:14 "ships as spark-submit --py-files"].
+
+Usage (cluster):
+    make dist
+    spark-submit --py-files dist/engine.zip cli_main.py <job> [options]
+or locally:
+    python -m scalemine_spark.cli <job> [options]
+
+Jobs:
+    extract    --pages <path> --out <path> [--langs en,de]
+    pagerank   --edges <path> --out <path> [--iters N | --tol T] [--run-id R --ckpt DIR]
+    cc         --edges <path> --out <path> [--run-id R --ckpt DIR]
+    lpa        --edges <path> --out <path> [--iters N] [--run-id R --ckpt DIR]
+    triangles  --edges <path> --out <path> [--per-vertex]
+
+Every algorithm job resumes automatically from the last committed checkpoint
+iteration when --run-id/--ckpt point at an existing run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="scalemine-spark")
+    sub = ap.add_subparsers(dest="job", required=True)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("--pages", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--langs", default=None)
+
+    for name in ("pagerank", "cc", "lpa", "triangles"):
+        p = sub.add_parser(name)
+        p.add_argument("--edges", required=True)
+        p.add_argument("--out", required=True)
+        if name == "pagerank":
+            p.add_argument("--iters", type=int, default=None)
+            p.add_argument("--tol", type=float, default=1e-8)
+            p.add_argument("--damping", type=float, default=0.85)
+            p.add_argument("--hub-threshold", type=int, default=None)
+        if name == "lpa":
+            p.add_argument("--iters", type=int, default=10)
+        if name == "triangles":
+            p.add_argument("--per-vertex", action="store_true")
+        if name in ("pagerank", "cc", "lpa"):
+            p.add_argument("--run-id", default=None)
+            p.add_argument("--ckpt", default=None)
+
+    for p in ap._subparsers._group_actions[0].choices.values():  # type: ignore[union-attr]
+        p.add_argument("--cores", type=int, default=None)
+        p.add_argument("--shuffle-partitions", type=int, default=None)
+    return ap
+
+
+def _ckpt(args, algo):
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    if args.ckpt and args.run_id:
+        return CheckpointManager(args.ckpt, args.run_id, algo)
+    return None
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from scalemine_spark.session import get_spark
+
+    spark = get_spark(f"scalemine-{args.job}", cores=args.cores,
+                      shuffle_partitions=args.shuffle_partitions)
+
+    info: dict = {}
+    if args.job == "extract":
+        from scalemine_spark.extract import extract_edges
+        from scalemine_spark.sources.pages import read_pages
+
+        pages = read_pages(spark, args.pages)
+        langs = args.langs.split(",") if args.langs else None
+        edges = extract_edges(pages, langs)
+        edges.write.mode("overwrite").parquet(args.out)
+        info = {"job": "extract", "edges": spark.read.parquet(args.out).count()}
+    else:
+        edges = spark.read.parquet(args.edges)
+        if args.job == "pagerank":
+            from scalemine_spark.algorithms import pagerank
+
+            ranks, info = pagerank(
+                edges,
+                d=args.damping,
+                tol=args.tol,
+                fixed_iters=args.iters,
+                checkpointer=_ckpt(args, "pagerank"),
+                hub_threshold=args.hub_threshold,
+            )
+            ranks.write.mode("overwrite").parquet(args.out)
+            info.pop("deltas", None)
+        elif args.job == "cc":
+            from scalemine_spark.algorithms import connected_components
+
+            comps, info = connected_components(edges, checkpointer=_ckpt(args, "cc"))
+            comps.write.mode("overwrite").parquet(args.out)
+        elif args.job == "lpa":
+            from scalemine_spark.algorithms import label_propagation
+
+            labels, info = label_propagation(
+                edges, iters=args.iters, checkpointer=_ckpt(args, "lpa")
+            )
+            labels.write.mode("overwrite").parquet(args.out)
+        elif args.job == "triangles":
+            from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
+
+            out = triangles_per_vertex(edges) if args.per_vertex else triangle_count(edges)
+            out.write.mode("overwrite").parquet(args.out)
+            info = {"job": "triangles"}
+
+    print(json.dumps({"ok": True, **{k: v for k, v in info.items() if not isinstance(v, list)}}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
