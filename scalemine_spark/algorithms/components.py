@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
@@ -102,7 +102,18 @@ def connected_components(
     converged = False
     for r in range(start_round, max_rounds):
         t_r = time.monotonic()
-        e2 = _small_star(_large_star(e))
+        # materialize between the phases: small-star references the
+        # large-star output three times (agg, join, self-pointers), so an
+        # unmaterialized composition recomputes large-star 3x per round.
+        ls = _large_star(e).localCheckpoint(eager=True)
+        e2 = _small_star(ls)
+        # convergence fingerprint rides the materializing action (Observation)
+        obs = Observation(f"cc_fp_{r}")
+        e2 = e2.observe(
+            obs,
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        )
         if checkpointer is not None:
             e2 = checkpointer.commit(
                 r, e2, {"round_seconds": time.monotonic() - t_r, "edges": float(fp[0])}
@@ -110,7 +121,8 @@ def connected_components(
         else:
             # truncate every round: branching factor ~4/round (SURVEY §4.3.1)
             e2 = e2.localCheckpoint(eager=True)
-        fp2 = _fingerprint(e2)
+        got = obs.get
+        fp2 = (int(got["c"] or 0), int(got["h"] or 0))
         e = e2
         rounds = r + 1
         if fp2 == fp:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
@@ -74,13 +74,20 @@ def label_propagation(
             )
         )
 
+        # changed-count rides the materializing action (Observation):
+        # one Spark job per iteration.
+        obs = Observation(f"lpa_changed_{it}")
+        new_labels = new_labels.observe(
+            obs,
+            F.sum(F.when(F.col("label") != F.col("prev"), 1).otherwise(0)).alias("changed"),
+        )
         if checkpointer is not None:
             committed = checkpointer.commit(it, new_labels, {})
         else:
             # truncate every iteration (branching plan growth, SURVEY §4.3.1)
             committed = new_labels.localCheckpoint(eager=True)
 
-        changed = committed.filter(F.col("label") != F.col("prev")).count()
+        changed = int(obs.get["changed"] or 0)
         if checkpointer is not None:
             checkpointer.amend_metrics(
                 it, {"changed": float(changed), "iter_seconds": time.monotonic() - t_it}

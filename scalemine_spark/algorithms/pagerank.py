@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
@@ -98,10 +98,9 @@ def pagerank(
     deltas: list[float] = []
     t0 = time.monotonic()
 
-    # one-time scalar pass; thereafter dangling/total are folded into the
-    # per-iteration stats action (mass is conserved, so the stats of the
-    # *committed* state feed the next iteration's update — 2 actions/iter:
-    # materialize + fused stats).
+    # one-time scalar pass; thereafter dangling/total come from the fused
+    # per-iteration observation (mass is conserved, so the stats of the
+    # committed state feed the next iteration's update).
     scal = state.agg(
         F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
         F.sum("rank").alias("total"),
@@ -125,18 +124,32 @@ def pagerank(
             contrib_in = e.join(w, "src")
         contribs = contrib_in.groupBy("dst").agg(F.sum("w").alias("contrib"))
 
-        # the previous rank rides along as `pr`, so the per-iteration stats
-        # (L1 delta, next dangling mass, total) are a scan-agg over the new
-        # state — no old-vs-new join, ONE fused action per iteration.
+        # `base` changes every iteration; shipping it as DATA (broadcast
+        # 1-row relation) instead of a literal keeps the generated code
+        # byte-identical across iterations -> whole-stage-codegen compile
+        # cache hits instead of a recompilation per iteration.
         base = (1.0 - d) / n + d * dangling / n
+        base_df = spark.createDataFrame([(float(base),)], "base double")
         new_state = (
             state.join(contribs, state.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(base_df))
             .select(
                 "id",
                 "out_deg",
-                (F.lit(base) + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                (F.col("base") + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
                 F.col("rank").alias("pr"),
             )
+        )
+
+        # fused stats ride the materializing action itself (Observation):
+        # ONE Spark job per iteration — L1 delta vs previous vector, next
+        # iteration's dangling mass, and total mass for the invariant check.
+        obs = Observation(f"pr_stats_{it}")
+        new_state = new_state.observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("pr"))).alias("l1"),
+            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
+            F.sum("rank").alias("total"),
         )
 
         do_ckpt = checkpointer is not None and (
@@ -148,14 +161,9 @@ def pagerank(
             # truncate the logical plan EVERY iteration: state is referenced
             # twice per step, so an untruncated plan doubles each iteration
             # and Catalyst analysis blows up around iter ~20 (SURVEY §4.3.1).
-            # The plan here is one iteration deep, so this stays cheap.
             committed = new_state.localCheckpoint(eager=True)
 
-        st = committed.agg(
-            F.sum(F.abs(F.col("rank") - F.col("pr"))).alias("l1"),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
-            F.sum("rank").alias("total"),
-        ).collect()[0]
+        st = obs.get  # fired by the write/checkpoint above
         delta = float(st["l1"] or 0.0)
         dangling = float(st["dm"] or 0.0)
         total_mass = float(st["total"] or 0.0)

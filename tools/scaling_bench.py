@@ -1,0 +1,177 @@
+"""Scaling-efficiency protocol (BASELINE.md §A): same job, same input, two
+parallelism levels on the 32-core box.
+
+  1. Build the synthetic bench edge table once (seeded, cached parquet).
+  2. For each level in {8, 32}: cold JVM per run (subprocess), 1 warm-up +
+     3 timed runs, median, of (a) PageRank fixed 10 iters, (b) CC to
+     convergence.
+  3. efficiency = (eps@32 / eps@8) / (32/8), target >= 0.8.
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python tools/scaling_bench.py [--pages 135000] [--warmup 1 --runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_ONE = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from scalemine_spark.session import get_spark
+from pyspark.sql import functions as F
+from scalemine_spark.algorithms import pagerank, connected_components
+
+cores = {cores}
+spark = get_spark("scaling", cores=cores, shuffle_partitions=2 * cores)
+spark.sparkContext.setLogLevel("ERROR")
+edges = spark.read.parquet({edges_path!r}).repartition(2 * cores, "src").persist()
+n_edges = edges.count()
+
+t0 = time.monotonic()
+ranks, info = pagerank(edges, fixed_iters=10)
+ranks.agg(F.sum("rank")).collect()
+t_pr = time.monotonic() - t0
+
+t0 = time.monotonic()
+comps, cinfo = connected_components(edges)
+comps.agg(F.countDistinct("comp")).collect()
+t_cc = time.monotonic() - t0
+
+print("RESULT " + json.dumps({{
+    "n_edges": n_edges, "t_pr": t_pr, "t_cc": t_cc,
+    "cc_rounds": cinfo["rounds"],
+    "pr_eps": n_edges * 10 / t_pr,
+    "cc_eps": n_edges * cinfo["rounds"] / t_cc,
+}}))
+spark.stop()
+"""
+
+
+def run_once(cores: int, edges_path: str) -> dict:
+    code = RUN_ONE.format(repo=REPO, cores=cores, edges_path=edges_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=135000)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    # step 1 — materialize the bench edge table once (extraction not timed here;
+    # bench.py times Stage A separately)
+    edges_path = os.path.join(REPO, ".bench_cache", f"edges_n{args.pages}.parquet")
+    if not os.path.exists(edges_path):
+        sys.path.insert(0, REPO)
+        from scalemine_spark.extract import extract_edges
+        from scalemine_spark.fixtures import materialize_pages
+        from scalemine_spark.session import get_spark
+
+        spark = get_spark("prep", cores=32, shuffle_partitions=64)
+        spark.sparkContext.setLogLevel("ERROR")
+        ppath, _ = materialize_pages(
+            f"{args.sf_dir}/documents.parquet",
+            os.path.join(REPO, ".cache"),
+            n_pages=args.pages,
+            seed=42,
+        )
+        pages = spark.read.parquet(ppath)
+        extract_edges(pages).repartition(64, "src").write.mode("overwrite").parquet(edges_path)
+        spark.stop()
+
+    levels = [int(x) for x in args.levels.split(",")]
+    results: dict[int, dict] = {}
+    for cores in levels:
+        print(f"== local[{cores}] ==", file=sys.stderr)
+        for i in range(args.warmup):
+            run_once(cores, edges_path)
+            print(f"  warmup {i} done", file=sys.stderr)
+        runs = []
+        for i in range(args.runs):
+            r = run_once(cores, edges_path)
+            runs.append(r)
+            print(f"  run {i}: pr_eps={r['pr_eps']:.0f} cc_eps={r['cc_eps']:.0f}", file=sys.stderr)
+        results[cores] = {
+            "n_edges": runs[0]["n_edges"],
+            "cc_rounds": runs[0]["cc_rounds"],
+            "pr_eps": statistics.median(r["pr_eps"] for r in runs),
+            "cc_eps": statistics.median(r["cc_eps"] for r in runs),
+            "t_pr": statistics.median(r["t_pr"] for r in runs),
+            "t_cc": statistics.median(r["t_cc"] for r in runs),
+            "all": runs,
+        }
+
+    lo, hi = levels[0], levels[-1]
+    ratio = hi / lo
+    eff_pr = (results[hi]["pr_eps"] / results[lo]["pr_eps"]) / ratio
+    eff_cc = (results[hi]["cc_eps"] / results[lo]["cc_eps"]) / ratio
+    summary = {
+        "n_edges": results[lo]["n_edges"],
+        "levels": levels,
+        "pr_eps": {c: round(results[c]["pr_eps"], 1) for c in levels},
+        "cc_eps": {c: round(results[c]["cc_eps"], 1) for c in levels},
+        "efficiency_pr": round(eff_pr, 3),
+        "efficiency_cc": round(eff_cc, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(render_md(args, levels, results, eff_pr, eff_cc))
+
+
+def render_md(args, levels, results, eff_pr, eff_cc) -> str:
+    lo, hi = levels[0], levels[-1]
+    n_edges = results[lo]["n_edges"]
+    lines = [
+        "# BENCH/BASELINE — in-sandbox scaling protocol results",
+        "",
+        "Protocol (BASELINE.md §A): same job, same input, cold JVM per run,",
+        f"{args.warmup} warm-up + {args.runs} timed runs, median. Input: seeded synthetic",
+        f"edge table, {args.pages} pages -> {n_edges} edges (seed 42).",
+        "Config per run: shuffle partitions = 2x cores, AQE on, Arrow on,",
+        "driver memory 8g, zstd parquet.",
+        "",
+        "| metric | local[{lo}] | local[{hi}] | efficiency (target >= 0.8) |".format(lo=lo, hi=hi),
+        "|---|---|---|---|",
+        "| PageRank (10 iters) edges/sec | {:.0f} | {:.0f} | **{:.3f}** |".format(
+            results[lo]["pr_eps"], results[hi]["pr_eps"], eff_pr
+        ),
+        "| PageRank wall (s) | {:.1f} | {:.1f} | |".format(results[lo]["t_pr"], results[hi]["t_pr"]),
+        "| CC (to convergence, {} rounds) edges/sec | {:.0f} | {:.0f} | **{:.3f}** |".format(
+            results[lo]["cc_rounds"], results[lo]["cc_eps"], results[hi]["cc_eps"], eff_cc
+        ),
+        "| CC wall (s) | {:.1f} | {:.1f} | |".format(results[lo]["t_cc"], results[hi]["t_cc"]),
+        "",
+        "efficiency = (eps@{hi} / eps@{lo}) / ({hi}/{lo})".format(lo=lo, hi=hi),
+        "",
+        "Raw runs:",
+        "```json",
+        json.dumps({c: results[c]["all"] for c in levels}, indent=1),
+        "```",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    main()
