@@ -1,0 +1,83 @@
+"""Physical-plan audits (SURVEY §4.2): the optimizations we rely on at 100 TB
+must actually appear in the plan — column pruning of the html BINARY column,
+predicate pushdown to parquet, broadcast joins for small dims, whole-stage
+codegen in the hot paths."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TESTDATA_ROOT
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_html_column_pruned_for_metadata_query(spark, pages_small):
+    """A lang-count over pages must not read the (huge) html BINARY column."""
+    pages, _ = pages_small
+    q = pages.groupBy("lang").agg(F.count("*").alias("n"))
+    plan = _plan(q)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln or "FileScan" in ln]
+    assert scan_lines, plan
+    assert all("html" not in ln for ln in scan_lines), scan_lines
+
+
+def test_predicate_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{TESTDATA_ROOT}/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan, plan
+
+
+def test_small_dim_join_is_broadcast(spark):
+    li = spark.read.parquet(f"{TESTDATA_ROOT}/sf0.001/lineitem.parquet")
+    p = spark.read.parquet(f"{TESTDATA_ROOT}/sf0.001/part.parquet")
+    q = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_hot_path_is_whole_stage_codegen(spark):
+    li = spark.read.parquet(f"{TESTDATA_ROOT}/sf0.001/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    q.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(q)
+    # codegen'd operators print with a '*(N)' stage marker
+    assert "*(1) HashAggregate" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    o = spark.read.parquet(f"{TESTDATA_ROOT}/sf0.001/orders.parquet")
+    q = o.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "TakeOrderedAndProject" in _plan(q)
+
+
+def test_extraction_reads_only_needed_columns(spark, pages_small):
+    """extract_edges needs url+html only — text/lang/warc_ts must be pruned."""
+    from scalemine_spark.extract import extract_edge_urls
+
+    pages, _ = pages_small
+    q = extract_edge_urls(pages)
+    plan = _plan(q)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines
+    assert all("warc_ts" not in ln and "text" not in ln for ln in scan_lines), scan_lines
+
+
+def test_partition_pruning_on_dt(spark, tmp_path):
+    """S2 at scale: pages partitioned by crawl date -> date filters prune."""
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "2026-01-01").otherwise("2026-01-02").alias("dt"),
+    )
+    path = str(tmp_path / "parted")
+    df.write.partitionBy("dt").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("dt") == "2026-01-01")
+    plan = _plan(q)
+    # pruned read: only one of the two partition dirs survives planning
+    assert "PartitionFilters" in plan and "2026-01-01" in plan
