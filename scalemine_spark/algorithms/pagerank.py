@@ -42,7 +42,10 @@ def _prepare(edges: DataFrame, num_partitions: int | None):
     """vertices(id, out_deg) persisted; edges persisted partitioned on src."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src", "dst").repartition(p, "src").persist()
+    # partition AND sort the big side once: the cached ordering feeds every
+    # iteration's sort-merge join, eliminating the per-iteration O(E log E)
+    # sort of the edge table (only the V-sized rank side sorts each round)
+    e = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
     verts = (
         vertex_ids(e)
         .join(out_degrees(e), "id", "left")

@@ -212,6 +212,32 @@ def materialize_pages(
     return ppath, epath
 
 
+def synth_edges_distributed(spark, n_edges: int, n_vertices: int, seed: int = 42):
+    """Distributed deterministic power-law edge generator (Spark-native).
+
+    For scaling runs beyond what the driver-side pages generator can build:
+    spark.range(n_edges) + xxhash64-based mixing -> (src, dst) with Zipf-like
+    in/out degree mass at low vertex ids (hubs), self-loops dropped, deduped.
+    Deterministic in (n_edges, n_vertices, seed); independent of partitioning
+    (hashes key on the row id). This is the 10^12-scale generation path — the
+    same expression pipeline runs on any cluster size.
+    """
+    from pyspark.sql import functions as F
+
+    def u(col, stream):
+        # uniform in [0,1) from xxhash64 (signed) -> shifted
+        return (F.xxhash64(col, F.lit(seed), F.lit(stream)) / F.lit(float(2**64))) + F.lit(0.5)
+
+    df = spark.range(n_edges)
+    src = F.floor(F.lit(float(n_vertices)) * F.pow(u(F.col("id"), 1), F.lit(2.0))).cast("long")
+    dst = F.floor(F.lit(float(n_vertices)) * F.pow(u(F.col("id"), 2), F.lit(2.0))).cast("long")
+    return (
+        df.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 # --------------------------------------------------------------------------
 # B3 — hand-written micro-graphs (edge lists; undirected unless noted)
 # --------------------------------------------------------------------------

@@ -43,10 +43,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # measured (tools/sweep_pr.py): 8g outruns 28g by 2-3x on this box's
+        # G1/JDK17 (large heaps regress the iterative loops badly)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # shuffle spill on tmpfs when available: /tmp is rotational-backed here,
+    # and disk-bound shuffle writes serialize multi-core scaling
+    shm = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE", "/dev/shm/spark-local")
+    if os.path.isdir(os.path.dirname(shm) or "/"):
+        try:
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
