@@ -36,8 +36,15 @@ def label_propagation(
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     sym = symmetrize(edges).repartition(p, "dst").persist()
+    # vertices come from the RAW edge endpoints (not sym, which drops
+    # self-loops): a vertex appearing only in self-loop edges still exists and
+    # keeps its own label throughout — consistent with pagerank / components.
     verts = (
-        sym.select(F.col("src").alias("id")).distinct().repartition(p, "id").persist()
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(p, "id")
+        .persist()
     )
 
     start = 0

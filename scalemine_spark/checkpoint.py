@@ -12,26 +12,32 @@ Layout:
         {iter, schema, files: [{path, rows, bytes}], metrics, run_id, algo}
 
 Commit protocol: (1) Spark writes the data dir (overwrite), (2) the manifest
-is assembled from the actual files on disk (per-partition lineage: one entry
-per parquet part file with its row count from the footer), (3) manifest JSON
-is written to a tmp name and os.rename'd — rename is atomic on POSIX, so a
-manifest either exists fully or not at all. `latest()` ignores data dirs
-without manifests, which makes crash-mid-write resume-safe [BASELINE.json:14].
+is assembled from the actual files in the store (per-partition lineage: one
+entry per parquet part file with its row count from the footer), (3) manifest
+JSON is written to a tmp name and renamed — rename-to-fresh-path is atomic on
+POSIX and HDFS, so a manifest either exists fully or not at all. `latest()`
+ignores data dirs without manifests, which makes crash-mid-write resume-safe
+[BASELINE.json:14].
 
-Two Spark actions per commit (write + none — footers are read driver-side via
-pyarrow, no job). Lineage truncation: `commit()` returns a fresh re-read of
-the just-written parquet, which resets the logical plan each iteration
-(SURVEY §4.3.1 — the naive loop grows the plan exponentially).
+Cluster-real filesystem handling: ALL fs operations route through
+scalemine_spark.fsio (POSIX fast path for local roots; Hadoop FileSystem API
+for file://, hdfs://, s3a://, ... — the footer read is a range read over
+FSDataInputStream, never a full download). Two Spark actions per commit
+(write + none — footers are read driver-side, no job). Lineage truncation:
+`commit()` returns a fresh re-read of the just-written parquet, which resets
+the logical plan each iteration (SURVEY §4.3.1 — the naive loop grows the
+plan exponentially).
 """
 
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 
-import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
+
+from scalemine_spark.fsio import fs_for
 
 
 class CheckpointManager:
@@ -39,16 +45,17 @@ class CheckpointManager:
         self.root = root
         self.run_id = run_id
         self.algo = algo
-        self.base = os.path.join(root, run_id, algo)
-        self.manifest_dir = os.path.join(self.base, "_manifests")
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.base = posixpath.join(root, run_id, algo)
+        self.manifest_dir = posixpath.join(self.base, "_manifests")
+        self._fs = fs_for(root)
+        self._fs.makedirs(self.manifest_dir)
 
     # -- paths -------------------------------------------------------------
     def data_dir(self, it: int) -> str:
-        return os.path.join(self.base, f"iter={it}")
+        return posixpath.join(self.base, f"iter={it}")
 
     def manifest_path(self, it: int) -> str:
-        return os.path.join(self.manifest_dir, f"{it:06d}.json")
+        return posixpath.join(self.manifest_dir, f"{it:06d}.json")
 
     # -- commit ------------------------------------------------------------
     def commit(self, it: int, state: DataFrame, metrics: dict[str, float]) -> DataFrame:
@@ -59,12 +66,17 @@ class CheckpointManager:
         state.write.mode("overwrite").parquet(ddir)
 
         files = []
-        for name in sorted(os.listdir(ddir)):
+        for name in sorted(self._fs.listdir(ddir)):
             if not name.endswith(".parquet"):
                 continue
-            fp = os.path.join(ddir, name)
-            md = _pq.read_metadata(fp)
-            files.append({"path": fp, "rows": md.num_rows, "bytes": os.path.getsize(fp)})
+            fp = posixpath.join(ddir, name)
+            files.append(
+                {
+                    "path": fp,
+                    "rows": self._fs.parquet_num_rows(fp),
+                    "bytes": self._fs.getsize(fp),
+                }
+            )
 
         manifest = {
             "run_id": self.run_id,
@@ -76,10 +88,9 @@ class CheckpointManager:
             "metrics": {k: float(v) for k, v in metrics.items()},
             "committed_at_unix": time.time(),
         }
-        tmp = self.manifest_path(it) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.replace(tmp, self.manifest_path(it))  # atomic commit point
+        self._fs.write_bytes_atomic(
+            self.manifest_path(it), json.dumps(manifest, indent=1).encode()
+        )
         return spark.read.parquet(ddir)
 
     def amend_metrics(self, it: int, metrics: dict[str, float]) -> None:
@@ -88,33 +99,28 @@ class CheckpointManager:
         itself; the manifest stays valid at every instant."""
         m = self.read_manifest(it)
         m["metrics"].update({k: float(v) for k, v in metrics.items()})
-        tmp = self.manifest_path(it) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh, indent=1)
-        os.replace(tmp, self.manifest_path(it))
+        self._fs.write_bytes_atomic(self.manifest_path(it), json.dumps(m, indent=1).encode())
 
     # -- resume ------------------------------------------------------------
     def latest(self) -> int | None:
         """Max committed iteration (valid manifest + data present), else None."""
         best = None
-        if not os.path.isdir(self.manifest_dir):
+        if not self._fs.isdir(self.manifest_dir):
             return None
-        for name in os.listdir(self.manifest_dir):
+        for name in self._fs.listdir(self.manifest_dir):
             if not name.endswith(".json"):
                 continue
             try:
-                with open(os.path.join(self.manifest_dir, name)) as fh:
-                    m = json.load(fh)
+                m = json.loads(self._fs.read_bytes(posixpath.join(self.manifest_dir, name)))
                 it = int(m["iter"])
-                if all(os.path.exists(f["path"]) for f in m["files"]):
+                if all(self._fs.exists(f["path"]) for f in m["files"]):
                     best = it if best is None else max(best, it)
             except (json.JSONDecodeError, KeyError, OSError):
                 continue  # torn/corrupt manifest == uncommitted
         return best
 
     def read_manifest(self, it: int) -> dict:
-        with open(self.manifest_path(it)) as fh:
-            return json.load(fh)
+        return json.loads(self._fs.read_bytes(self.manifest_path(it)))
 
     def read_state(self, spark: SparkSession, it: int) -> DataFrame:
         return spark.read.parquet(self.data_dir(it))
@@ -126,7 +132,7 @@ class CheckpointManager:
         if it is None:
             return out
         for k in range(it + 1):
-            if os.path.exists(self.manifest_path(k)):
+            if self._fs.exists(self.manifest_path(k)):
                 m = self.read_manifest(k)
                 out.append({"iter": k, "row_count": m["row_count"], **m["metrics"]})
         return out

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
 # --------------------------------------------------------------------------
 # vectorized html-entity decode (applied batch-wise; matches html.unescape for
@@ -60,8 +60,21 @@ def unescape_series(s: pd.Series) -> pd.Series:
 
 
 def _to_str(html: pd.Series) -> pd.Series:
-    """BINARY arrives as a Series of bytes objects; decode utf-8."""
-    return html.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
+    """BINARY arrives as a Series of bytes objects; decode utf-8 at C level
+    via a pyarrow binary->string cast (no per-row Python). Falls back to a
+    python decode with errors='replace' only if the cast rejects the batch
+    (invalid utf-8 somewhere)."""
+    if len(html) == 0 or not isinstance(html.iloc[0], (bytes, bytearray)):
+        return html
+    import pyarrow as pa
+
+    try:
+        arr = pa.Array.from_pandas(html, type=pa.binary())
+        return arr.cast(pa.string()).to_pandas()
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return html.map(
+            lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b
+        )
 
 
 # --------------------------------------------------------------------------
@@ -100,6 +113,39 @@ def extract_hrefs_batch(html: pd.Series) -> pd.Series:
 def extract_hrefs_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for html in batches:
         yield extract_hrefs_batch(html)
+
+
+# --------------------------------------------------------------------------
+# X1+X2 single pass — when a pipeline needs BOTH text and hrefs, decode and
+# scan the html once and emit struct(text, hrefs) in one Arrow crossing.
+# --------------------------------------------------------------------------
+
+
+_PAGE_STRUCT = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("hrefs", ArrayType(StringType())),
+    ]
+)
+
+
+@pandas_udf(_PAGE_STRUCT)
+def extract_page_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    for html in batches:
+        s = _to_str(html)
+        yield pd.DataFrame(
+            {
+                "text": unescape_series(s.str.findall(_P_BLOCK).str.join("\n").fillna("")),
+                "hrefs": s.str.findall(_HREF),
+            }
+        )
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """(url, text, hrefs) — X1 and X2 from a single html pass."""
+    return pages.select(
+        "url", extract_page_udf(F.col("html")).alias("p")
+    ).select("url", F.col("p.text").alias("text"), F.col("p.hrefs").alias("hrefs"))
 
 
 # --------------------------------------------------------------------------
@@ -181,20 +227,45 @@ def extract_doc_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", extract_text_udf(F.col("html")).alias("text"))
 
 
+# --------------------------------------------------------------------------
+# fused single-crossing extraction paths (one html decode+parse per page;
+# one Arrow round-trip instead of separate text/href/normalize crossings)
+# --------------------------------------------------------------------------
+
+
+def _edges_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(url, html) batch -> exploded (src_url, dst_url) with normalization —
+    href findall and url resolution fused into ONE vectorized pass."""
+    s = _to_str(pdf["html"])
+    hrefs = s.str.findall(_HREF)
+    counts = hrefs.str.len().fillna(0).astype(np.int64).to_numpy()
+    if counts.sum() == 0:
+        return pd.DataFrame({"src_url": pd.Series([], dtype=object),
+                             "dst_url": pd.Series([], dtype=object)})
+    base = np.repeat(pdf["url"].to_numpy(dtype=object), counts)
+    flat = np.concatenate([np.asarray(h, dtype=object) for h in hrefs if len(h)])
+    dst = normalize_url_batch(pd.Series(base), pd.Series(flat))
+    return pd.DataFrame({"src_url": base, "dst_url": dst.to_numpy(dtype=object)})
+
+
 def extract_edge_urls(pages: DataFrame, langs: list[str] | None = None) -> DataFrame:
     """X2+X3(+X5): (src_url, dst_url) normalized link pairs, http(s) only,
-    deduped, self-loops removed."""
+    deduped, self-loops removed.
+
+    Implementation: one mapInPandas crossing that decodes each page's html
+    once and emits already-normalized exploded pairs (the separate
+    extract_hrefs_udf -> explode -> normalize_url_udf composition is kept as
+    the per-operator API surface; this fused path avoids shipping the raw
+    href strings out to the JVM and back in a second UDF)."""
     df = pages
     if langs:
         df = df.filter(F.col("lang").isin(langs))  # X5
-    hrefs = df.select(
-        F.col("url").alias("src_url"),
-        F.explode(extract_hrefs_udf(F.col("html"))).alias("href"),
+    raw = df.select("url", "html").mapInPandas(
+        lambda it: (_edges_batch(pdf) for pdf in it),
+        "src_url string, dst_url string",
     )
-    dst = normalize_url_udf(F.col("src_url"), F.col("href")).alias("dst_url")
     out = (
-        hrefs.select("src_url", dst)
-        .filter(F.col("dst_url").rlike("^https?://"))
+        raw.filter(F.col("dst_url").rlike("^https?://"))
         .filter(F.col("dst_url") != F.col("src_url"))
         .dropDuplicates(["src_url", "dst_url"])
     )

@@ -105,19 +105,25 @@ def frame_sample(
     frame_bytes). The real frame decoder would slot into the same shape."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, sizes = [], [], []
-            for did, raw in zip(pdf[id_col], pdf[bin_col]):
-                nb = len(raw)
-                n_frames = nb // block_bytes
-                for fi in range(0, n_frames, every_k):
-                    ids.append(did)
-                    idxs.append(fi)
-                    sizes.append(min(block_bytes, nb - fi * block_bytes))
+            nb = pdf[bin_col].map(len).to_numpy(dtype="int64")
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            # kept frames per doc: ceil((nb // block) / k) — pure numpy, no
+            # per-row Python loop (the real frame decoder slots in per batch)
+            n_frames = nb // block_bytes
+            n_kept = (n_frames + every_k - 1) // every_k
+            rep_ids = np.repeat(ids, n_kept)
+            rep_nb = np.repeat(nb, n_kept)
+            # frame_idx = every_k * (0..n_kept-1) per doc, flattened
+            offs = np.repeat(np.cumsum(n_kept) - n_kept, n_kept)
+            idxs = (np.arange(len(rep_ids), dtype="int64") - offs) * every_k
+            sizes = np.minimum(block_bytes, rep_nb - idxs * block_bytes)
             yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
-                 "frame_idx": pd.Series(idxs, dtype="int32"),
-                 "frame_bytes": pd.Series(sizes, dtype="int64")}
+                {"doc_id": rep_ids,
+                 "frame_idx": idxs.astype("int32"),
+                 "frame_bytes": sizes.astype("int64")}
             )
 
     return df.mapInPandas(fn, FRAME_SCHEMA)

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def salted_join(
@@ -50,21 +49,33 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """J9 — as-of join: for each left row, the single most recent right row
-    with ``right_ts <= left_ts`` (backward) per `on` key.
+    with ``right_ts <= left_ts`` (backward; ``>=`` forward) per `on` key.
+    Ties on right_ts break deterministically (lexicographic max/min of the
+    remaining right columns). Fully duplicate left rows each produce one
+    output row (per-left-ROW contract — rows are tagged with a unique id, not
+    grouped by value).
 
-    Spark has no native as-of join; this is the window formulation: range
-    join + row_number over (key, left row) ordered by right_ts desc. For
-    large-large as-of joins, pre-bucketing by time would bound the fan-out;
-    at fixture scale the plain conditional join is fine.
+    Spark has no native as-of join. Shape chosen for scale: range join ->
+    ``groupBy(left_row).agg(max(struct(right_ts, right_cols)))``. The
+    aggregate is partial (map-side combine), so the O(L x S) conditional-join
+    output collapses to one row per left row BEFORE the shuffle — unlike the
+    window/row_number formulation, which must shuffle and sort the entire
+    fan-out. For strongly skewed keys, time-bucket the range join first.
     """
-    cond = (left[on] == right[on]) & (
-        right[right_ts] <= left[left_ts]
+    l = left.withColumn("__lid", F.monotonically_increasing_id())
+    cond = (l[on] == right[on]) & (
+        right[right_ts] <= l[left_ts]
         if direction == "backward"
-        else right[right_ts] >= left[left_ts]
+        else right[right_ts] >= l[left_ts]
     )
-    lcols = [left[c].alias(c) for c in left.columns]
-    rcols = [right[c].alias(f"r_{c}") for c in right.columns if c != on]
-    j = left.join(right, cond, "left").select(*lcols, *rcols)
-    order = F.col(f"r_{right_ts}").desc_nulls_last() if direction == "backward" else F.col(f"r_{right_ts}").asc_nulls_last()
-    w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(order)
-    return j.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    rpayload = F.struct(
+        right[right_ts].alias("__ts"),
+        *[right[c].alias(f"r_{c}") for c in right.columns if c != on],
+    )
+    j = l.join(right, cond, "inner").select(l["__lid"].alias("__lid"), rpayload.alias("__rs"))
+    pick = F.max("__rs") if direction == "backward" else F.min("__rs")
+    best = j.groupBy("__lid").agg(pick.alias("__rs"))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__rs.r_{c}").alias(f"r_{c}") for c in right.columns if c != on
+    ]
+    return l.join(best, "__lid", "left").select(*out_cols)
