@@ -67,11 +67,15 @@ def pagerank(
     num_partitions: int | None = None,
     hub_threshold: int | None = None,
     with_prev: bool = False,
+    spmv: str = "codegen",
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DF (id, rank), info dict with iters/deltas/edges_per_sec).
 
     fixed_iters: run exactly that many iterations, skip convergence checks
     (used by the driver-oracle query, which must be deterministic in shape).
+    spmv: 'codegen' (JVM HashAggregate partial+final — default) or 'arrow'
+    (operators.spmv mapInArrow numpy partial combine, the U3 kernel, as the
+    alternate inner path for A/B benchmarking).
     """
     spark = edges.sparkSession
     e, verts, p = _prepare(edges, num_partitions)
@@ -126,7 +130,12 @@ def pagerank(
             )
         else:
             contrib_in = e.join(w, "src")
-        contribs = contrib_in.groupBy("dst").agg(F.sum("w").alias("contrib"))
+        if spmv == "arrow":
+            from scalemine_spark.operators.spmv import spmv_partial_arrow
+
+            contribs = spmv_partial_arrow(contrib_in.select("dst", "w"))
+        else:
+            contribs = contrib_in.groupBy("dst").agg(F.sum("w").alias("contrib"))
 
         # `base` changes every iteration and is shipped as a plain literal:
         # measured (tools A/B, round 2) the literal is ~0.2s/iter FASTER than

@@ -62,20 +62,25 @@ def asof_join(
     window/row_number formulation, which must shuffle and sort the entire
     fan-out. For strongly skewed keys, time-bucket the range join first.
     """
-    l = left.withColumn("__lid", F.monotonically_increasing_id())
-    cond = (l[on] == right[on]) & (
-        right[right_ts] <= l[left_ts]
+    # explicit dataset aliases: left and right often share lineage (self-join
+    # on the same source), which makes bare column refs ambiguous
+    l = left.withColumn("__lid", F.monotonically_increasing_id()).alias("__asof_l")
+    r = right.alias("__asof_r")
+    lc = lambda c: F.col(f"__asof_l.{c}")  # noqa: E731
+    rc = lambda c: F.col(f"__asof_r.{c}")  # noqa: E731
+    cond = (lc(on) == rc(on)) & (
+        rc(right_ts) <= lc(left_ts)
         if direction == "backward"
-        else right[right_ts] >= l[left_ts]
+        else rc(right_ts) >= lc(left_ts)
     )
     rpayload = F.struct(
-        right[right_ts].alias("__ts"),
-        *[right[c].alias(f"r_{c}") for c in right.columns if c != on],
+        rc(right_ts).alias("__ts"),
+        *[rc(c).alias(f"r_{c}") for c in right.columns if c != on],
     )
-    j = l.join(right, cond, "inner").select(l["__lid"].alias("__lid"), rpayload.alias("__rs"))
+    j = l.join(r, cond, "inner").select(lc("__lid").alias("__lid"), rpayload.alias("__rs"))
     pick = F.max("__rs") if direction == "backward" else F.min("__rs")
     best = j.groupBy("__lid").agg(pick.alias("__rs"))
-    out_cols = [F.col(c) for c in left.columns] + [
+    out_cols = [lc(c) for c in left.columns] + [
         F.col(f"__rs.r_{c}").alias(f"r_{c}") for c in right.columns if c != on
     ]
     return l.join(best, "__lid", "left").select(*out_cols)

@@ -507,20 +507,23 @@ def j8_range(spark, sf_dir):
 WHERE rn = 1""",
 )
 def j9_asof(spark, sf_dir):
-    """As-of: latest event per user at a fixed cutoff (window formulation —
-    Spark has no native as-of; operators.asof_join is the general form)."""
-    from pyspark.sql.window import Window
+    """As-of via operators.asof_join (the general map-side-aggregate form):
+    left = one probe row per user at the fixed cutoff; right = that user's
+    events. Right-ts ties break by lexicographic max of the remaining right
+    columns (= max event_id here), matching the oracle's ORDER BY ts DESC,
+    event_id DESC."""
+    from scalemine_spark.operators.joins import asof_join
 
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("ts") <= F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+    ev = t(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().withColumn(
+        "cutoff", F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id", F.col("value").alias("last_value"), F.col("event_id").alias("last_event")
-        )
+    right = ev.select("user_id", F.col("ts"), F.col("event_id"), F.col("value"))
+    j = asof_join(probes, right, on="user_id", left_ts="cutoff", right_ts="ts")
+    return j.filter(F.col("r_ts").isNotNull()).select(
+        "user_id",
+        F.col("r_value").alias("last_value"),
+        F.col("r_event_id").alias("last_event"),
     )
 
 

@@ -26,7 +26,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tiny", action="store_true", help="use a 50k-edge slice (isolates C)")
     ap.add_argument("--aqe", default="false")
-    ap.add_argument("--explain", action="store_true")
+    ap.add_argument("--spmv", default="codegen", choices=["codegen", "arrow"])
+    ap.add_argument("--hub-threshold", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -43,11 +44,14 @@ def main() -> None:
     if args.tiny:
         edges = edges.limit(50000)
     t0 = time.monotonic()
-    ranks, info = pagerank(edges, fixed_iters=args.iters)
+    ranks, info = pagerank(
+        edges, fixed_iters=args.iters, spmv=args.spmv, hub_threshold=args.hub_threshold
+    )
     ranks.agg(F.sum("rank")).collect()
     wall = time.monotonic() - t0
     out = {
         "cores": args.cores,
+        "spmv": args.spmv,
         "n_edges": info["n_edges"],
         "wall": round(wall, 2),
         "iter_seconds": [round(x, 3) for x in info["iter_seconds"]],
