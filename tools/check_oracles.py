@@ -19,6 +19,7 @@ Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [--only g1_pag
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import math
 import os
 import sys
@@ -60,8 +61,21 @@ def canon_frame(df) -> tuple[list[str], list[str], list[str]]:
             kinds.append("bool")
             canon_cols.append(s.map(lambda v: "\x00NULL" if pd.isna(v) else str(bool(v))))
         elif k == "M":
+            # DATE columns arrive as datetime64 from DuckDB but as python
+            # date objects from Spark (round-1 driver treated them equal) —
+            # canonicalize midnight timestamps to the date form.
             kinds.append("datetime")
-            canon_cols.append(s.map(lambda v: "\x00NULL" if pd.isna(v) else pd.Timestamp(v).isoformat()))
+
+            def cm(v):
+                if pd.isna(v):
+                    return "\x00NULL"
+                ts = pd.Timestamp(v)
+                return ts.date().isoformat() if ts == ts.normalize() else ts.isoformat()
+
+            canon_cols.append(s.map(cm))
+        elif k == "O" and s.map(lambda v: isinstance(v, _dt.date) and not isinstance(v, _dt.datetime), na_action="ignore").fillna(True).all():
+            kinds.append("datetime")
+            canon_cols.append(s.map(lambda v: "\x00NULL" if v is None else v.isoformat()))
         else:
             kinds.append("obj")
 
