@@ -81,3 +81,17 @@ def test_partition_pruning_on_dt(spark, tmp_path):
     plan = _plan(q)
     # pruned read: only one of the two partition dirs survives planning
     assert "PartitionFilters" in plan and "2026-01-01" in plan
+
+
+def test_asof_join_plan_aggregates_not_window(spark):
+    """J9 at scale: the as-of pick must be a (partial+final) aggregate — the
+    window/row_number formulation would shuffle+sort the full range-join
+    fan-out. Assert the plan has the aggregate and NO Window node."""
+    from scalemine_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame([(1, 8, 1.0)], "k long, ts long, v double")
+    q = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+    plan = _plan(q)
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
