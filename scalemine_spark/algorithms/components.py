@@ -43,12 +43,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
+    # NO distinct here: the output has exactly one row per undirected input
+    # pair (the v>u filter keeps one direction), so duplicates are only
+    # value-level collisions. Small-star's groupBy(u).min absorbs them
+    # map-side, and its own final distinct restores set semantics — dropping
+    # this distinct removes a full-E exchange per round.
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

@@ -58,12 +58,10 @@ if not {skip_cc}:
     comps, cinfo = connected_components(edges)
     comps.agg(F.countDistinct("comp")).collect()
     t_cc = time.monotonic() - t0
-    cc_steady = cinfo["round_seconds"][1:] or cinfo["round_seconds"]
     out.update({{
         "t_cc": t_cc, "cc_rounds": cinfo["rounds"],
         "cc_round_seconds": [round(x, 3) for x in cinfo["round_seconds"]],
         "cc_eps": n_edges * cinfo["rounds"] / t_cc,
-        "cc_eps_steady": n_edges / (sum(cc_steady) / len(cc_steady)),
     }})
 print("RESULT " + json.dumps(out))
 spark.stop()
@@ -130,7 +128,7 @@ def main() -> None:
             runs[cores].append(r)
             msg = f"  run {i} local[{cores}]: pr_eps={r['pr_eps']:.0f} steady={r['pr_eps_steady']:.0f}"
             if not args.skip_cc:
-                msg += f" cc_eps={r['cc_eps']:.0f} steady={r['cc_eps_steady']:.0f}"
+                msg += f" cc_eps={r['cc_eps']:.0f}"
             print(msg, file=sys.stderr)
 
     def med(cores, key):
@@ -152,16 +150,14 @@ def main() -> None:
         "target": 0.8,
     }
     if not args.skip_cc:
+        # CC has no meaningful "steady" per-round throughput: the pointer set
+        # collapses after round 1, so later rounds process far fewer edges.
         summary.update(
             {
                 "cc_rounds": runs[lo][0]["cc_rounds"],
                 "cc_eps": {c: round(med(c, "cc_eps"), 1) for c in levels},
-                "cc_eps_steady": {c: round(med(c, "cc_eps_steady"), 1) for c in levels},
                 "t_cc": {c: round(med(c, "t_cc"), 1) for c in levels},
                 "efficiency_cc": round((med(hi, "cc_eps") / med(lo, "cc_eps")) / ratio, 3),
-                "efficiency_cc_steady": round(
-                    (med(hi, "cc_eps_steady") / med(lo, "cc_eps_steady")) / ratio, 3
-                ),
             }
         )
     print(json.dumps(summary))
@@ -209,10 +205,6 @@ def render_md(args, levels, runs, s, edges_path) -> str:
             (
                 f"| CC (to convergence, {s['cc_rounds']} rounds) eps total | {s['cc_eps'][lo]:.0f} | "
                 f"{s['cc_eps'][hi]:.0f} | **{s['efficiency_cc']}** |"
-            ),
-            (
-                f"| CC eps steady-state | {s['cc_eps_steady'][lo]:.0f} | "
-                f"{s['cc_eps_steady'][hi]:.0f} | **{s['efficiency_cc_steady']}** |"
             ),
         ]
     lines += [
