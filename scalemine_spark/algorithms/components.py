@@ -12,13 +12,40 @@ smaller id"). Each round:
     emit (v, m(u)) for v ∈ N≤(u) ∪ {u}, v ≠ m(u).
 
 Converges in O(log n) rounds to a star forest (child -> component-min root).
-Convergence test: edge-set fingerprint (count + sum of xxhash64(u,v)) stable
+Convergence test: edge-set fingerprint (count + xor of xxhash64(u,v)) stable
 across a round — one scalar action per round instead of a full set-difference
 shuffle. Each round's output is checkpointed (atomic manifest, resume-safe)
 which also truncates lineage.
 
-Skew: groupBy(u).min is safe under power-law degrees thanks to partial
-aggregation; the join fan-out back to neighbors is AQE-skew-split.
+Exchange budget (round 3 restructure; 16M/local[8]: 72.6s -> measured in
+BENCH). Because the pointer set is canonical (u > v strictly, all rounds),
+large-star never needs the 2E symmetrized relation the round-2 code built:
+
+  per canonical edge (a, b) with a > b, large-star's emit rule
+  "for v in Γ(u), v > u: emit (v, m(u))" fires exactly once — from the
+  smaller endpoint b toward a — so large-star IS the per-edge join
+  ``e ⋈ mins ON e.v = mins.u`` emitting (e.u, m), where
+  m(x) = min(Γ(x) ∪ {x}) = least(x, min over x's smaller nbrs, min over
+  x's larger nbrs) comes from TWO V-sized partial aggregates (groupBy(u)
+  and groupBy(v) of e) merged by a co-partitioned full-outer join.
+
+Full-E exchanges per round: the large-star probe (E rows hashed on v), the
+small-star probe (E rows hashed on u), and the closing distinct (E rows on
+(u,v); kept — the fingerprint convergence test needs set semantics and it
+bounds duplicate growth). The two degree-style aggregates shuffle only
+~V rows each thanks to map-side partial min. The round-2 formulation
+exchanged 6E+ (symmetrize 2E for agg + E for probe, twice, plus distinct);
+round 0 previously ALSO paid an init `distinct()` and a separate full-E
+fingerprint action before the loop — both gone: raw canonicalized edges
+(duplicates and all) feed round 0 directly, the min-aggregates absorb
+duplicate rows, and the end-of-round distinct restores set semantics. The
+init fingerprint is unneeded: the first comparable fingerprint pair is
+(round 0, round 1), costing at most one extra (cheap, already-collapsed)
+round on inputs that were star-shaped to begin with.
+
+Skew: all aggregates are min() with map-side partial aggregation, so hot
+vertices cost one partial row per map task; the join fan-outs emit exactly
+one row per input edge (never quadratic).
 """
 
 from __future__ import annotations
@@ -32,6 +59,9 @@ from scalemine_spark.checkpoint import CheckpointManager
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """Set fingerprint of a (deduplicated) pointer-edge set. Only used on the
+    resume path; in the main loop the fingerprint rides the round's
+    Observation for free."""
     row = e.agg(
         F.count("*").alias("c"),
         F.bit_xor(F.xxhash64("u", "v")).alias("h"),
@@ -39,28 +69,32 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["c"] or 0), int(row["h"] or 0)
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("u", "mn").alias("m"))
-    # NO distinct here: the output has exactly one row per undirected input
-    # pair (the v>u filter keeps one direction), so duplicates are only
-    # value-level collisions. Small-star's groupBy(u).min absorbs them
-    # map-side, and its own final distinct restores set semantics — dropping
-    # this distinct removes a full-E exchange per round.
-    return (
-        sym.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .filter(F.col("u") != F.col("v"))
+def _cc_round(e: DataFrame, p: int) -> DataFrame:
+    """One large-star + small-star round (module docstring has the exchange
+    accounting). Requires pointer shape u > v strictly, which every producer
+    guarantees (init canonicalization filters self-loops; both stars emit
+    (bigger, smaller) pairs and drop u == v). Tolerates duplicate rows in
+    `e` — min-aggregates absorb them, the closing distinct restores set
+    semantics — which is what lets round 0 skip the init distinct.
+    """
+    # ---- large-star: m(x) from two V-sized partial aggregates ---------
+    a_out = e.groupBy("u").agg(F.min("v").alias("mo"))
+    a_in = e.groupBy("v").agg(F.min("u").alias("mi")).select(F.col("v").alias("u"), "mi")
+    # least() skips nulls, so vertices seen on only one side still resolve
+    mins = a_out.join(a_in, "u", "full").select(
+        "u", F.least("u", "mo", "mi").alias("m")
     )
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    # e is pointer-shaped: v < u for every row
-    mins = e.groupBy("u").agg(F.min("v").alias("m"))
-    nbrs = e.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
-    selfp = mins.select(F.col("u"), F.col("m").alias("v"))
+    # per-edge emit: (e.u, m(e.v)) — e.u > e.v >= m(e.v), pointer shape kept
+    ls = e.join(mins.select(F.col("u").alias("v"), "m"), "v").select(
+        "u", F.col("m").alias("v")
+    )
+    # materialize: consumed twice below (agg + probe); also resets the plan
+    ls = ls.localCheckpoint(eager=True)
+    # ---- small-star over the pointer set ------------------------------
+    mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = ls.join(mins2, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    selfp = mins2.select("u", F.col("m").alias("v"))
+    # final exchange — distinct on (u, v)
     return nbrs.union(selfp).filter(F.col("u") != F.col("v")).distinct()
 
 
@@ -83,35 +117,30 @@ def connected_components(
         .persist()
     )
 
-    # pointer-shaped initial edge set: (max, min) per undirected pair
-    e = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.greatest("src", "dst").alias("u"),
-            F.least("src", "dst").alias("v"),
-        )
-        .distinct()
+    # canonicalized raw pairs, duplicates and all — round 0 absorbs them
+    # (no init distinct, no init fingerprint: both were full-E passes)
+    e = edges.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("u"),
+        F.least("src", "dst").alias("v"),
     )
 
     start_round = 0
+    fp: tuple[int, int] | None = None
     if checkpointer is not None:
         last = checkpointer.latest()
         if last is not None:
             e = checkpointer.read_state(spark, last)
             start_round = last + 1
+            fp = _fingerprint(e)  # committed state is deduped -> comparable
 
-    fp = _fingerprint(e)
     t0 = time.monotonic()
     rounds = start_round
     converged = False
     round_secs: list[float] = []
+    n_pointer_edges = 0
     for r in range(start_round, max_rounds):
         t_r = time.monotonic()
-        # materialize between the phases: small-star references the
-        # large-star output three times (agg, join, self-pointers), so an
-        # unmaterialized composition recomputes large-star 3x per round.
-        ls = _large_star(e).localCheckpoint(eager=True)
-        e2 = _small_star(ls)
+        e2 = _cc_round(e, p)
         # convergence fingerprint rides the materializing action (Observation)
         obs = Observation(f"cc_fp_{r}")
         e2 = e2.observe(
@@ -120,9 +149,7 @@ def connected_components(
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         )
         if checkpointer is not None:
-            e2 = checkpointer.commit(
-                r, e2, {"round_seconds": time.monotonic() - t_r, "edges": float(fp[0])}
-            )
+            e2 = checkpointer.commit(r, e2, {"round_seconds": time.monotonic() - t_r})
         else:
             # truncate every round: branching factor ~4/round (SURVEY §4.3.1)
             e2 = e2.localCheckpoint(eager=True)
@@ -130,8 +157,9 @@ def connected_components(
         fp2 = (int(got["c"] or 0), int(got["h"] or 0))
         e = e2
         rounds = r + 1
+        n_pointer_edges = fp2[0]
         round_secs.append(time.monotonic() - t_r)
-        if fp2 == fp:
+        if fp is not None and fp2 == fp:
             converged = True
             break
         fp = fp2
@@ -145,7 +173,7 @@ def connected_components(
         "converged": converged,
         "seconds": time.monotonic() - t0,
         "round_seconds": round_secs,
-        "n_pointer_edges": fp[0],
+        "n_pointer_edges": n_pointer_edges,
     }
     verts.unpersist()
     return comps, info

@@ -33,11 +33,19 @@ from __future__ import annotations
 
 import json
 import posixpath
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from scalemine_spark.fsio import fs_for
+
+# 000004.json (version 0) / 000004.v2.json (2nd amend). Amends write a NEW
+# versioned name instead of rewriting in place: rename-to-fresh-path is
+# atomic on POSIX/HDFS and safe even on S3A-style copy+delete renames —
+# readers always see SOME complete manifest for a committed iteration (the
+# previous version survives until the new one is fully visible).
+_MANIFEST_RE = re.compile(r"^(\d{6})(?:\.v(\d+))?\.json$")
 
 
 class CheckpointManager:
@@ -54,8 +62,22 @@ class CheckpointManager:
     def data_dir(self, it: int) -> str:
         return posixpath.join(self.base, f"iter={it}")
 
-    def manifest_path(self, it: int) -> str:
-        return posixpath.join(self.manifest_dir, f"{it:06d}.json")
+    def manifest_path(self, it: int, version: int = 0) -> str:
+        name = f"{it:06d}.json" if version == 0 else f"{it:06d}.v{version}.json"
+        return posixpath.join(self.manifest_dir, name)
+
+    def _versions(self) -> dict[int, list[int]]:
+        """iter -> sorted list of manifest versions present in the store."""
+        out: dict[int, list[int]] = {}
+        if not self._fs.isdir(self.manifest_dir):
+            return out
+        for name in self._fs.listdir(self.manifest_dir):
+            m = _MANIFEST_RE.match(name)
+            if m:
+                out.setdefault(int(m.group(1)), []).append(int(m.group(2) or 0))
+        for vs in out.values():
+            vs.sort()
+        return out
 
     # -- commit ------------------------------------------------------------
     def commit(self, it: int, state: DataFrame, metrics: dict[str, float]) -> DataFrame:
@@ -94,33 +116,43 @@ class CheckpointManager:
         return spark.read.parquet(ddir)
 
     def amend_metrics(self, it: int, metrics: dict[str, float]) -> None:
-        """Merge metrics into an already-committed manifest (atomic rewrite).
-        Used when a metric (e.g. L1 delta) is measured on the committed data
-        itself; the manifest stays valid at every instant."""
+        """Merge metrics into an already-committed manifest by writing the
+        NEXT manifest version to a fresh name (never an in-place rewrite —
+        see _MANIFEST_RE note). Readers pick the highest complete version;
+        the iteration stays visibly committed at every instant, on every
+        store rename semantics (POSIX, HDFS, S3A copy+delete)."""
+        versions = self._versions().get(it, [0])
         m = self.read_manifest(it)
         m["metrics"].update({k: float(v) for k, v in metrics.items()})
-        self._fs.write_bytes_atomic(self.manifest_path(it), json.dumps(m, indent=1).encode())
+        self._fs.write_bytes_atomic(
+            self.manifest_path(it, versions[-1] + 1), json.dumps(m, indent=1).encode()
+        )
 
     # -- resume ------------------------------------------------------------
     def latest(self) -> int | None:
         """Max committed iteration (valid manifest + data present), else None."""
         best = None
-        if not self._fs.isdir(self.manifest_dir):
-            return None
-        for name in self._fs.listdir(self.manifest_dir):
-            if not name.endswith(".json"):
-                continue
-            try:
-                m = json.loads(self._fs.read_bytes(posixpath.join(self.manifest_dir, name)))
-                it = int(m["iter"])
-                if all(self._fs.exists(f["path"]) for f in m["files"]):
-                    best = it if best is None else max(best, it)
-            except (json.JSONDecodeError, KeyError, OSError):
-                continue  # torn/corrupt manifest == uncommitted
+        for it, versions in self._versions().items():
+            # any complete version proves the commit; prefer the newest,
+            # fall back past a torn amend to an older complete one
+            for v in reversed(versions):
+                try:
+                    m = json.loads(self._fs.read_bytes(self.manifest_path(it, v)))
+                    if all(self._fs.exists(f["path"]) for f in m["files"]):
+                        best = it if best is None else max(best, it)
+                    break
+                except (json.JSONDecodeError, KeyError, OSError):
+                    continue  # torn/corrupt manifest version — try older
         return best
 
     def read_manifest(self, it: int) -> dict:
-        return json.loads(self._fs.read_bytes(self.manifest_path(it)))
+        """Highest complete manifest version for `it` (amends supersede)."""
+        for v in reversed(self._versions().get(it, [0])):
+            try:
+                return json.loads(self._fs.read_bytes(self.manifest_path(it, v)))
+            except (json.JSONDecodeError, OSError):
+                continue
+        raise FileNotFoundError(f"no readable manifest for iter {it}")
 
     def read_state(self, spark: SparkSession, it: int) -> DataFrame:
         return spark.read.parquet(self.data_dir(it))

@@ -63,8 +63,13 @@ def _to_str(html: pd.Series) -> pd.Series:
     """BINARY arrives as a Series of bytes objects; decode utf-8 at C level
     via a pyarrow binary->string cast (no per-row Python). Falls back to a
     python decode with errors='replace' only if the cast rejects the batch
-    (invalid utf-8 somewhere)."""
-    if len(html) == 0 or not isinstance(html.iloc[0], (bytes, bytearray)):
+    (invalid utf-8 somewhere).
+
+    Bytes-vs-str is decided from the first NON-null value (a batch whose
+    first row is null must still be decoded); nulls pass through the arrow
+    cast as nulls, so nullable html columns survive every path."""
+    probe = html.dropna()
+    if len(probe) == 0 or not isinstance(probe.iloc[0], (bytes, bytearray)):
         return html
     import pyarrow as pa
 
@@ -106,7 +111,9 @@ _HREF = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"']*)["']""", re.IGNORECASE)
 
 def extract_hrefs_batch(html: pd.Series) -> pd.Series:
     s = _to_str(html)
-    return s.str.findall(_HREF)
+    found = s.str.findall(_HREF)
+    # null html -> findall yields NaN; Arrow needs None for ARRAY<STRING>
+    return found.where(found.notna(), None)
 
 
 @pandas_udf(ArrayType(StringType()))
@@ -133,10 +140,11 @@ _PAGE_STRUCT = StructType(
 def extract_page_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     for html in batches:
         s = _to_str(html)
+        found = s.str.findall(_HREF)
         yield pd.DataFrame(
             {
                 "text": unescape_series(s.str.findall(_P_BLOCK).str.join("\n").fillna("")),
-                "hrefs": s.str.findall(_HREF),
+                "hrefs": found.where(found.notna(), None),
             }
         )
 
@@ -238,12 +246,16 @@ def _edges_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     href findall and url resolution fused into ONE vectorized pass."""
     s = _to_str(pdf["html"])
     hrefs = s.str.findall(_HREF)
+    # null html -> NaN entry; count it as 0 links and skip it in the flatten
+    # (a bare `len(h)` would raise TypeError on the NaN float)
     counts = hrefs.str.len().fillna(0).astype(np.int64).to_numpy()
     if counts.sum() == 0:
         return pd.DataFrame({"src_url": pd.Series([], dtype=object),
                              "dst_url": pd.Series([], dtype=object)})
     base = np.repeat(pdf["url"].to_numpy(dtype=object), counts)
-    flat = np.concatenate([np.asarray(h, dtype=object) for h in hrefs if len(h)])
+    flat = np.concatenate(
+        [np.asarray(h, dtype=object) for h in hrefs if isinstance(h, list) and h]
+    )
     dst = normalize_url_batch(pd.Series(base), pd.Series(flat))
     return pd.DataFrame({"src_url": base, "dst_url": dst.to_numpy(dtype=object)})
 

@@ -13,9 +13,13 @@ operations route through this shim:
 
 ``fs_for(path)`` picks the backend from the path's scheme. Commit atomicity:
 manifest bytes are written to a tmp name and renamed; rename-to-fresh-path is
-atomic on POSIX and HDFS. Rewrites (amend) delete-then-rename — the same
-compromise Iceberg's version-file swap makes on stores without atomic
-overwrite-rename.
+atomic on POSIX and HDFS (on S3A rename is copy+delete, but a FRESH
+destination is still all-or-nothing to readers). CheckpointManager only ever
+writes fresh names — amends create a new manifest VERSION rather than
+rewriting in place — so the delete-then-rename branch of
+``HadoopFS.write_bytes_atomic`` (needed only when the destination already
+exists, where a reader could observe the gap) is not exercised by the
+checkpoint protocol.
 """
 
 from __future__ import annotations
@@ -159,6 +163,10 @@ class HadoopFS:
             stream.close()
 
     def write_bytes_atomic(self, p: str, data: bytes) -> None:
+        # Atomic only for FRESH destinations (tmp write + rename). If `p`
+        # already exists the delete+rename below leaves a no-file window —
+        # callers that need always-visible files must write versioned fresh
+        # names instead (CheckpointManager.amend_metrics does exactly that).
         tmp = self._p(p + ".tmp")
         out = self._fs.create(tmp, True)
         try:

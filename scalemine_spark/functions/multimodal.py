@@ -31,17 +31,36 @@ FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long"
 
 def binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """mapInPandas metadata extraction over a BINARY column: byte length +
-    leading-4-bytes magic (lowercase hex). Arrow-batched, no per-row Python
-    UDF registration; the batch loop is pandas-level."""
+    leading-4-bytes magic (lowercase hex). Fully C-level inside the batch:
+    pyarrow ``binary_length`` / ``binary_slice`` kernels, plus ONE
+    ``bytes.hex()`` pass over the concatenated slice buffer (per-row work is
+    just O(1) string slicing on the precomputed hex). Null payloads yield
+    null metadata."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         for pdf in batches:
-            raw = pdf[bin_col]
+            arr = pa.Array.from_pandas(pdf[bin_col], type=pa.binary())
+            n_bytes = pc.binary_length(arr).to_pandas()  # nullable Int64
+            sliced = pc.binary_slice(arr, 0, 4)
+            offs = np.frombuffer(sliced.buffers()[1], dtype=np.int32)[
+                sliced.offset : sliced.offset + len(sliced) + 1
+            ]
+            buf = sliced.buffers()[2]
+            full_hex = buf.to_pybytes().hex() if buf is not None else ""
+            valid = np.asarray(sliced.is_valid())
+            magic = [
+                full_hex[2 * a : 2 * b] if ok else None
+                for a, b, ok in zip(offs[:-1], offs[1:], valid)
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": raw.map(len).astype("int64"),
-                    "magic_hex": raw.map(lambda b: bytes(b[:4]).hex()),
+                    "n_bytes": n_bytes.astype("Int64"),
+                    "magic_hex": magic,
                 }
             )
 

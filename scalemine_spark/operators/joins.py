@@ -59,12 +59,23 @@ def asof_join(
     ``groupBy(left_row).agg(max(struct(right_ts, right_cols)))``. The
     aggregate is partial (map-side combine), so the O(L x S) conditional-join
     output collapses to one row per left row BEFORE the shuffle — unlike the
-    window/row_number formulation, which must shuffle and sort the entire
-    fan-out. For strongly skewed keys, time-bucket the range join first.
+    naive window-over-the-fan-out formulation, which must shuffle and sort
+    the entire fan-out. For strongly skewed keys (one key holding many
+    snapshots) the fan-out ROWS are still generated map-side; use
+    ``asof_join_merge`` there — it generates no fan-out at all.
     """
     # explicit dataset aliases: left and right often share lineage (self-join
-    # on the same source), which makes bare column refs ambiguous
-    l = left.withColumn("__lid", F.monotonically_increasing_id()).alias("__asof_l")
+    # on the same source), which makes bare column refs ambiguous.
+    # The per-row tag (__lid) is evaluated in TWO plan branches (range join
+    # + final join-back); monotonically_increasing_id is nondeterministic
+    # under shuffle-fetch reordering / AQE replans / task retries, so the
+    # tagged frame MUST be materialized once (localCheckpoint) before
+    # branching or the two evaluations can disagree at cluster scale.
+    l = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+        .alias("__asof_l")
+    )
     r = right.alias("__asof_r")
     lc = lambda c: F.col(f"__asof_l.{c}")  # noqa: E731
     rc = lambda c: F.col(f"__asof_r.{c}")  # noqa: E731
@@ -82,5 +93,75 @@ def asof_join(
     best = j.groupBy("__lid").agg(pick.alias("__rs"))
     out_cols = [lc(c) for c in left.columns] + [
         F.col(f"__rs.r_{c}").alias(f"r_{c}") for c in right.columns if c != on
+    ]
+    return l.join(best, "__lid", "left").select(*out_cols)
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """J9, skew path — identical semantics to :func:`asof_join`, zero fan-out.
+
+    Union-sort-merge formulation (supersedes the time-bucketed variant an
+    earlier docstring promised — bucketing bounds the fan-out, this removes
+    it): probes and right events go into ONE relation sorted per key by
+    timestamp; a running ``last(payload, ignorenulls)`` window carries the
+    latest right payload forward, so each probe row reads its answer off the
+    running state. Costs one shuffle+sort of L+R rows total — no conditional
+    join, no L x S intermediate — which is the right shape when one key holds
+    10^4+ snapshots (the range-join form generates S fan-out rows per probe
+    of that key even though its aggregate collapses them map-side).
+
+    Within-key work is a single task (window partitioning), O((L+R) log) per
+    key with O(1) running state — linear in the hot key's data, never
+    quadratic. Tie-breaks match asof_join: equal right_ts resolves to the
+    lexicographic max (backward) / min (forward) of the remaining right
+    columns; right rows sort before probes at equal timestamps so ties are
+    inclusive.
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != on],
+    )
+    events = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).cast("int").alias("__is_probe"),
+        F.lit(None).cast("long").alias("__lid"),
+        payload.alias("__rs"),
+    )
+    l = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    probes = l.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_probe"),
+        F.col("__lid"),
+        F.lit(None).cast(events.schema["__rs"].dataType).alias("__rs"),
+    )
+    merged = events.select(*probes.columns).unionByName(probes)
+    if direction == "backward":
+        # right rows first at equal ts (inclusive <=); ties -> max payload
+        order = [F.col("__t").asc(), F.col("__is_probe").asc(), F.col("__rs").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__is_probe").asc(), F.col("__rs").desc()]
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("__best", F.last("__rs", ignorenulls=True).over(w))
+    best = carried.filter(F.col("__is_probe") == 1).select("__lid", "__best")
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__best.r_{c}").alias(f"r_{c}") for c in right.columns if c != on
     ]
     return l.join(best, "__lid", "left").select(*out_cols)

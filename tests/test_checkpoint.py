@@ -10,6 +10,13 @@ from scalemine_spark.checkpoint import CheckpointManager
 from tests.conftest import edges_df
 
 
+def _drop_all_manifest_versions(ck: CheckpointManager, it: int) -> None:
+    """Crash simulation: a commit is only 'gone' once EVERY manifest version
+    (base + amends) is gone — amends write fresh versioned names."""
+    for v in ck._versions().get(it, []):
+        os.remove(ck.manifest_path(it, v))
+
+
 def test_resume_mid_algorithm(spark, tmp_path):
     """Kill after iter k (manifests truncated), restart: identical final state
     bit-for-bit and no recomputation of iters <= k."""
@@ -22,7 +29,7 @@ def test_resume_mid_algorithm(spark, tmp_path):
 
     # simulate crash: drop committed state for iters 5..7
     for k in (5, 6, 7):
-        os.remove(ck.manifest_path(k))
+        _drop_all_manifest_versions(ck, k)
     ck2 = CheckpointManager(str(tmp_path), "run1", "pagerank")
     assert ck2.latest() == 4
     resumed, info_res = pagerank(e, fixed_iters=8, checkpointer=ck2)
@@ -37,11 +44,27 @@ def test_torn_manifest_is_ignored(spark, tmp_path):
     e = edges_df(spark, pairs)
     ck = CheckpointManager(str(tmp_path), "r", "pagerank")
     pagerank(e, fixed_iters=3, checkpointer=ck)
-    # corrupt the newest manifest mid-write (torn json)
-    p = ck.manifest_path(2)
-    with open(p, "w") as fh:
-        fh.write('{"iter": 2, "files": [')
+    # corrupt EVERY manifest version of the newest iter mid-write (torn json)
+    for v in ck._versions()[2]:
+        with open(ck.manifest_path(2, v), "w") as fh:
+            fh.write('{"iter": 2, "files": [')
     assert CheckpointManager(str(tmp_path), "r", "pagerank").latest() == 1
+
+
+def test_torn_amend_falls_back_to_base_manifest(spark, tmp_path):
+    """A torn AMEND must not un-commit the iteration: readers fall back to
+    the previous complete version (the reason amends write fresh names)."""
+    e = edges_df(spark, FX.G_TWO_CC)
+    ck = CheckpointManager(str(tmp_path), "r", "pagerank")
+    pagerank(e, fixed_iters=3, checkpointer=ck)
+    versions = ck._versions()[2]
+    assert len(versions) >= 2  # base commit + metrics amend
+    with open(ck.manifest_path(2, versions[-1]), "w") as fh:
+        fh.write('{"iter": 2, "met')  # torn newest amend
+    ck2 = CheckpointManager(str(tmp_path), "r", "pagerank")
+    assert ck2.latest() == 2
+    m = ck2.read_manifest(2)
+    assert m["iter"] == 2 and m["files"]  # complete older version served
 
 
 def test_metrics_history_complete(spark, tmp_path):
@@ -61,9 +84,7 @@ def test_checkpoint_interval(spark, tmp_path):
     e = edges_df(spark, FX.G_LINE)
     ck = CheckpointManager(str(tmp_path), "r", "pagerank")
     pagerank(e, fixed_iters=6, checkpointer=ck, checkpoint_interval=2)
-    committed = sorted(
-        int(f.split(".")[0]) for f in os.listdir(ck.manifest_dir) if f.endswith(".json")
-    )
+    committed = sorted(ck._versions().keys())
     assert committed == [0, 2, 4, 5]  # every 2nd + the final iteration
 
 

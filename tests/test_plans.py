@@ -83,6 +83,42 @@ def test_partition_pruning_on_dt(spark, tmp_path):
     assert "PartitionFilters" in plan and "2026-01-01" in plan
 
 
+def test_extraction_is_single_python_crossing(spark, pages_small):
+    """The fused Stage-A path must stay ONE Python/Arrow crossing end-to-end
+    (extract 83s -> 40s win in round 2 came from fusing decode+findall+
+    normalize into one mapInPandas; guard it against regression)."""
+    from scalemine_spark.extract import extract_edges
+
+    pages, _ = pages_small
+    plan = _plan(extract_edges(pages))
+    crossings = sum(
+        plan.count(marker)
+        for marker in ("PythonMapInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+    )
+    assert crossings == 1, f"expected exactly 1 Python crossing, plan:\n{plan}"
+
+
+def test_cc_round_exchange_budget(spark):
+    """G2 at scale: one large-star+small-star round must shuffle full-E data
+    exactly 3x (large-star probe, small-star probe, closing distinct) plus
+    two ~V-sized partial-aggregate exchanges — NOT the 6E of the symmetrize-
+    and-self-join formulation. Count Exchange nodes in the pre-checkpoint
+    segment of the round plan."""
+    from scalemine_spark.algorithms.components import _cc_round
+
+    e = spark.range(64).select(
+        (F.col("id") + 32).alias("u"), (F.col("id") % 32).alias("v")
+    )
+    out = _cc_round(e, 4)
+    plan = _plan(out)
+    # after the mid-round localCheckpoint the visible plan is small-star only:
+    # probe exchange + partial-agg exchange + distinct exchange = 3
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    )
+    assert n_exchanges <= 3, plan
+
+
 def test_asof_join_plan_aggregates_not_window(spark):
     """J9 at scale: the as-of pick must be a (partial+final) aggregate — the
     window/row_number formulation would shuffle+sort the full range-join
