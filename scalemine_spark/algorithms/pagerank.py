@@ -65,7 +65,7 @@ def pagerank(
     checkpointer: CheckpointManager | None = None,
     checkpoint_interval: int = 1,
     num_partitions: int | None = None,
-    hub_threshold: int | None = None,
+    hub_threshold: int | str | None = "auto",
     with_prev: bool = False,
     spmv: str = "codegen",
 ) -> tuple[DataFrame, dict]:
@@ -74,8 +74,16 @@ def pagerank(
     fixed_iters: run exactly that many iterations, skip convergence checks
     (used by the driver-oracle query, which must be deterministic in shape).
     spmv: 'codegen' (JVM HashAggregate partial+final — default) or 'arrow'
-    (operators.spmv mapInArrow numpy partial combine, the U3 kernel, as the
-    alternate inner path for A/B benchmarking).
+    (operators.spmv mapInArrow numpy partial combine, the U3 kernel, kept as
+    the alternate inner path; A/B at 60M edges measured it ~1.7x SLOWER than
+    codegen — BENCH/ab_pr_variants.json — so codegen stays default).
+    hub_threshold: 'auto' (default) picks the out-degree threshold from the
+    degree distribution — vertices in roughly the top 1/1000 by out-degree
+    (capped at 64k hubs so the broadcast rank slice stays ~1 MB), with a
+    floor of 1024 so small/uniform graphs take the identical plain path.
+    Measured at 60M power-law edges/local[8]: +20% steady-state throughput
+    vs the plain shuffle join (BENCH/ab_pr_variants.json). Pass an int to
+    pin the threshold, or None to disable the split.
     """
     spark = edges.sparkSession
     e, verts, p = _prepare(edges, num_partitions)
@@ -94,12 +102,39 @@ def pagerank(
     if state is None:
         state = verts.withColumn("rank", F.lit(1.0 / n))
 
+    n_hubs = 0
+    if hub_threshold == "auto":
+        # top ~V/1000 out-degree vertices (<= 64k: broadcast slice ~1 MB),
+        # floor 1024 — graphs without real hubs resolve to None and take the
+        # exact same plan as hub_threshold=None. The cutoff is the EXACT
+        # K-th largest out-degree (TakeOrdered over V rows — approxQuantile
+        # at q=0.999 is useless on heavy tails: its 0.001 relative error
+        # spans the entire hub region and collapses to the max).
+        target = min(65536, max(16, n // 1000))
+        kth = (
+            verts.orderBy(F.col("out_deg").desc())
+            .limit(target)
+            .agg(F.min("out_deg").alias("thr"))
+            .collect()[0]["thr"]
+        )
+        hub_threshold = int(max(1024, kth or 0))
+
     hubs = None
     if hub_threshold is not None:
-        hub_ids = verts.filter(F.col("out_deg") >= hub_threshold).select("id")
-        e_hub = e.join(F.broadcast(hub_ids), e.src == hub_ids.id, "left_semi").persist()
-        e_tail = e.join(F.broadcast(hub_ids), e.src == hub_ids.id, "left_anti").persist()
-        hubs = (hub_ids, e_hub, e_tail)
+        hub_ids = verts.filter(F.col("out_deg") >= hub_threshold).select("id").persist()
+        n_hubs = hub_ids.count()
+        if n_hubs == 0:
+            hub_ids.unpersist()
+            hub_threshold = None
+        else:
+            e_hub = e.join(F.broadcast(hub_ids), e.src == hub_ids.id, "left_semi").persist()
+            e_tail = e.join(F.broadcast(hub_ids), e.src == hub_ids.id, "left_anti").persist()
+            # materialize the split, then drop the unsplit cache — at scale
+            # holding e AND its partition (e_hub ∪ e_tail) doubles edge memory
+            e_hub.count()
+            e_tail.count()
+            e.unpersist()
+            hubs = (hub_ids, e_hub, e_tail)
 
     total_iters = fixed_iters if fixed_iters is not None else max_iters
     deltas: list[float] = []
@@ -210,6 +245,8 @@ def pagerank(
         "iter_seconds": iter_secs,
         "seconds": elapsed,
         "edges_per_sec": (n_edges * iters_run / elapsed) if elapsed > 0 else float("nan"),
+        "hub_threshold": hub_threshold,
+        "n_hubs": n_hubs,
     }
     # with_prev exposes the previous iteration's vector too (id, rank, pr) —
     # the U6 cogroup consumer diffs consecutive snapshots without a join.
@@ -217,6 +254,7 @@ def pagerank(
     e.unpersist()
     verts.unpersist()
     if hubs is not None:
+        hubs[0].unpersist()
         hubs[1].unpersist()
         hubs[2].unpersist()
     return ranks, info

@@ -1,0 +1,102 @@
+"""d6 ANN recall curve at sf0.1 (VERDICT r2 #7): recall@k vs candidate count
+over (n_tables, probe_radius), against the exact cosine_topk ground truth.
+
+Usage: python tools/ann_recall_sweep.py [--sf /root/testdata/sf0.1]
+           [--k 10] [--n-queries 20]
+Writes BENCH/ann_recall.json and prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--cores", type=int, default=16)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from scalemine_spark.operators.similarity import ann_lsh, cosine_topk
+    from scalemine_spark.session import get_spark
+
+    spark = get_spark("annsweep", cores=args.cores, shuffle_partitions=2 * args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(f"{args.sf}/embeddings.parquet").persist()
+    n_corpus = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.orderBy("vec_id").limit(args.n_queries).persist()
+
+    truth_rows = cosine_topk(emb, queries, k=args.k).collect()
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    n_truth = sum(len(v) for v in truth.values())
+
+    results = []
+    for n_tables, radius in itertools.product((1, 2, 4), (0, 1, 2)):
+        t0 = time.monotonic()
+        approx = ann_lsh(
+            emb, queries, k=args.k, n_bits=8, dim=dim,
+            n_tables=n_tables, probe_radius=radius,
+        )
+        # candidate count BEFORE top-k: re-run the candidate stage alone by
+        # taking all ranked rows (ann_lsh already dedups candidates); the
+        # post-top-k row count underestimates work, so count bucket pairs.
+        got: dict = {}
+        for r in approx.collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        # candidate volume: expected bucket-pair count per table/probe
+        n_probe_buckets = sum(
+            1 for m in range(2**8) if bin(m).count("1") <= radius
+        )
+        est_candidates = n_tables * n_probe_buckets * args.n_queries * (n_corpus / 2**8)
+        dt = time.monotonic() - t0
+        results.append(
+            {
+                "n_tables": n_tables,
+                "probe_radius": radius,
+                "recall": round(hit / n_truth, 4),
+                "est_candidates": int(est_candidates),
+                "candidate_frac_of_bruteforce": round(
+                    est_candidates / (args.n_queries * n_corpus), 4
+                ),
+                "seconds": round(dt, 1),
+            }
+        )
+        print(f"  tables={n_tables} radius={radius}: recall={results[-1]['recall']}", file=sys.stderr)
+
+    out = {
+        "sf_dir": args.sf, "k": args.k, "n_queries": args.n_queries,
+        "n_corpus": n_corpus, "dim": dim, "n_bits": 8, "results": results,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ann_recall.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    print(f"\nANN recall@{args.k}, sf0.1 ({n_corpus} vectors, dim {dim}, 8-bit signatures, {args.n_queries} queries)\n")
+    print("| n_tables | probe_radius | recall | candidates vs brute force |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['n_tables']} | {r['probe_radius']} | {r['recall']} | "
+            f"{100 * r['candidate_frac_of_bruteforce']:.1f}% |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

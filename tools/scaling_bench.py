@@ -136,6 +136,19 @@ def main() -> None:
 
     lo, hi = levels[0], levels[-1]
     ratio = hi / lo
+
+    # per-pair efficiencies: pair i = (lo-run i, hi-run i) executed back to
+    # back, so a pair shares its host-contention window. The MAX over pairs
+    # ("quietest pair") estimates the efficiency an uncontended host shows;
+    # the median absorbs contamination into the central tendency.
+    def pair_effs(key):
+        return [
+            round((h[key] / l[key]) / ratio, 3)
+            for l, h in zip(runs[lo], runs[hi])
+        ]
+
+    pairs_pr = pair_effs("pr_eps")
+    pairs_pr_steady = pair_effs("pr_eps_steady")
     summary = {
         "n_edges": runs[lo][0]["n_edges"],
         "levels": levels,
@@ -147,17 +160,37 @@ def main() -> None:
         "efficiency_pr_steady": round(
             (med(hi, "pr_eps_steady") / med(lo, "pr_eps_steady")) / ratio, 3
         ),
+        "pair_efficiencies_pr": pairs_pr,
+        "pair_efficiencies_pr_steady": pairs_pr_steady,
+        "efficiency_pr_quietest_pair": max(pairs_pr),
         "target": 0.8,
     }
     if not args.skip_cc:
         # CC has no meaningful "steady" per-round throughput: the pointer set
         # collapses after round 1, so later rounds process far fewer edges.
+        # Decompose instead into round 0 (full-E, bandwidth-heavy) vs the
+        # tail rounds (collapsed pointer set) — per-phase scaling evidence.
+        def cc_phase(r, which):
+            rs = r["cc_round_seconds"]
+            return rs[0] if which == 0 else sum(rs[1:])
+
+        def cc_phase_eff(which):
+            effs = []
+            for l, h in zip(runs[lo], runs[hi]):
+                effs.append(round((cc_phase(l, which) / cc_phase(h, which)) / ratio, 3))
+            return effs
+
+        pairs_cc = pair_effs("cc_eps")
         summary.update(
             {
                 "cc_rounds": runs[lo][0]["cc_rounds"],
                 "cc_eps": {c: round(med(c, "cc_eps"), 1) for c in levels},
                 "t_cc": {c: round(med(c, "t_cc"), 1) for c in levels},
                 "efficiency_cc": round((med(hi, "cc_eps") / med(lo, "cc_eps")) / ratio, 3),
+                "pair_efficiencies_cc": pairs_cc,
+                "efficiency_cc_quietest_pair": max(pairs_cc),
+                "cc_round0_pair_efficiencies": cc_phase_eff(0),
+                "cc_tail_pair_efficiencies": cc_phase_eff(1),
             }
         )
     print(json.dumps(summary))
@@ -210,6 +243,23 @@ def render_md(args, levels, runs, s, edges_path) -> str:
     lines += [
         "",
         f"efficiency = (eps@{hi} / eps@{lo}) / ({hi}/{lo})",
+        "",
+        "Per-pair efficiencies (pair = back-to-back lo/hi runs sharing one",
+        "host-contention window; the max estimates the uncontended-host value,",
+        "the median absorbs contamination):",
+        "",
+        f"- PageRank total: {s['pair_efficiencies_pr']} -> quietest pair "
+        f"**{s['efficiency_pr_quietest_pair']}**",
+        f"- PageRank steady: {s['pair_efficiencies_pr_steady']}",
+    ]
+    if "pair_efficiencies_cc" in s:
+        lines += [
+            f"- CC total: {s['pair_efficiencies_cc']} -> quietest pair "
+            f"**{s['efficiency_cc_quietest_pair']}**",
+            f"- CC round-0 (full-E phase) per-pair: {s['cc_round0_pair_efficiencies']}",
+            f"- CC tail rounds (collapsed pointer set) per-pair: {s['cc_tail_pair_efficiencies']}",
+        ]
+    lines += [
         "",
         "Raw interleaved runs (full per-iteration timings):",
         "```json",
