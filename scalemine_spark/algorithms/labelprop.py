@@ -67,6 +67,12 @@ def label_propagation(
         nbr = sym.join(
             labels.select(F.col("id").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("id"), "label")
+        # Two-level aggregate, partial-agg both levels. (A round-3 experiment
+        # replaced this with one repartition(id) serving both groupBys
+        # exchange-free; measured SLOWER at bench scale — once labels start
+        # converging, neighbor labels repeat heavily and the (id,label)
+        # partial aggregate collapses most of the 2E rows map-side, which the
+        # blind repartition forfeits. Keep the partial-agg form.)
         counts = nbr.groupBy("id", "label").agg(F.count("*").alias("cnt"))
         new = counts.groupBy("id").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")

@@ -68,8 +68,18 @@ def lsh_signature(col: Column, planes: list[list[float]]) -> Column:
 
 
 def _probe_masks(n_bits: int, radius: int) -> list[int]:
-    """All bit masks of popcount <= radius (multi-probe LSH, Lv et al. 2007)."""
-    return [m for m in range(2**n_bits) if bin(m).count("1") <= radius]
+    """All bit masks of popcount <= radius (multi-probe LSH, Lv et al. 2007).
+    Enumerated as bit-position combinations — O(sum C(n_bits, r)) work, so
+    wide signatures (n_bits >> 20) stay cheap as long as radius is small."""
+    import itertools
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        masks.extend(
+            sum(1 << b for b in bits)
+            for bits in itertools.combinations(range(n_bits), r)
+        )
+    return masks
 
 
 def ann_lsh(

@@ -46,7 +46,8 @@ def main() -> None:
     n_truth = sum(len(v) for v in truth.values())
 
     results = []
-    for n_tables, radius in itertools.product((1, 2, 4), (0, 1, 2)):
+    grid = list(itertools.product((1, 2, 4), (0, 1, 2))) + [(6, 3)]  # (6,3) = d6 ship config
+    for n_tables, radius in grid:
         t0 = time.monotonic()
         approx = ann_lsh(
             emb, queries, k=args.k, n_bits=8, dim=dim,
