@@ -151,7 +151,7 @@ def extract_page_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 
 def extract_docs(pages: DataFrame) -> DataFrame:
     """(url, text, hrefs) — X1 and X2 from a single html pass."""
-    return pages.select(
+    return _ensure_parallelism(pages).select(
         "url", extract_page_udf(F.col("html")).alias("p")
     ).select("url", F.col("p.text").alias("text"), F.col("p.hrefs").alias("hrefs"))
 
@@ -285,6 +285,19 @@ def _edges_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"src_url": base, "dst_url": dst.to_numpy(dtype=object)})
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """A narrow input (one small parquet file = one split = one row group)
+    would run the whole extraction UDF in a single task — repartition up to
+    the configured shuffle parallelism first. One extra exchange of the raw
+    html rows buys cores-wide regex work; a real crawl store (many files,
+    many row groups) already scans wide and skips this."""
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def extract_edge_urls(pages: DataFrame, langs: list[str] | None = None) -> DataFrame:
     """X2+X3(+X5): (src_url, dst_url) normalized link pairs, http(s) only,
     deduped, self-loops removed.
@@ -297,6 +310,7 @@ def extract_edge_urls(pages: DataFrame, langs: list[str] | None = None) -> DataF
     df = pages
     if langs:
         df = df.filter(F.col("lang").isin(langs))  # X5
+    df = _ensure_parallelism(df)
     raw = df.select("url", "html").mapInPandas(
         lambda it: (_edges_batch(pdf) for pdf in it),
         "src_url string, dst_url string",
