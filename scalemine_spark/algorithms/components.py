@@ -69,13 +69,15 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["c"] or 0), int(row["h"] or 0)
 
 
-def _cc_round(e: DataFrame, p: int) -> DataFrame:
+def _cc_round(e: DataFrame, p: int) -> tuple[DataFrame, DataFrame]:
     """One large-star + small-star round (module docstring has the exchange
-    accounting). Requires pointer shape u > v strictly, which every producer
-    guarantees (init canonicalization filters self-loops; both stars emit
-    (bigger, smaller) pairs and drop u == v). Tolerates duplicate rows in
-    `e` — min-aggregates absorb them, the closing distinct restores set
-    semantics — which is what lets round 0 skip the init distinct.
+    accounting). Returns (round output, large-star cache handle) — the
+    caller unpersists the handle once the round's action has run. Requires
+    pointer shape u > v strictly, which every producer guarantees (init
+    canonicalization filters self-loops; both stars emit (bigger, smaller)
+    pairs and drop u == v). Tolerates duplicate rows in `e` — min-aggregates
+    absorb them, the closing distinct restores set semantics — which is what
+    lets round 0 skip the init distinct.
     """
     # ---- large-star: m(x) from two V-sized partial aggregates ---------
     a_out = e.groupBy("u").agg(F.min("v").alias("mo"))
@@ -88,14 +90,22 @@ def _cc_round(e: DataFrame, p: int) -> DataFrame:
     ls = e.join(mins.select(F.col("u").alias("v"), "m"), "v").select(
         "u", F.col("m").alias("v")
     )
-    # materialize: consumed twice below (agg + probe); also resets the plan
-    ls = ls.localCheckpoint(eager=True)
+    # materialize: consumed twice below (agg + probe). Columnar persist()
+    # beats localCheckpoint(eager) here — the SQL cache stores compressed
+    # column batches (vs the row-object RDD cache whose JVM overhead caused
+    # GC-bound 1.6x-variance rounds at 60M), block locks compute each cached
+    # partition exactly once even with two consumers in one job, and no
+    # extra eager job runs per round (A/B at 60M/local[8]: 102s stable vs
+    # 113-180s — BENCH/BASELINE.md). Lineage truncation still happens at the
+    # round output (checkpoint commit / localCheckpoint of e2).
+    ls = ls.persist()
     # ---- small-star over the pointer set ------------------------------
     mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
     nbrs = ls.join(mins2, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     selfp = mins2.select("u", F.col("m").alias("v"))
     # final exchange — distinct on (u, v)
-    return nbrs.union(selfp).filter(F.col("u") != F.col("v")).distinct()
+    out = nbrs.union(selfp).filter(F.col("u") != F.col("v")).distinct()
+    return out, ls
 
 
 def connected_components(
@@ -140,7 +150,7 @@ def connected_components(
     n_pointer_edges = 0
     for r in range(start_round, max_rounds):
         t_r = time.monotonic()
-        e2 = _cc_round(e, p)
+        e2, ls_cache = _cc_round(e, p)
         # convergence fingerprint rides the materializing action (Observation)
         obs = Observation(f"cc_fp_{r}")
         e2 = e2.observe(
@@ -154,6 +164,7 @@ def connected_components(
             # truncate every round: branching factor ~4/round (SURVEY §4.3.1)
             e2 = e2.localCheckpoint(eager=True)
         got = obs.get
+        ls_cache.unpersist()
         fp2 = (int(got["c"] or 0), int(got["h"] or 0))
         e = e2
         rounds = r + 1

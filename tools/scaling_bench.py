@@ -41,18 +41,19 @@ spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet({edges_path!r}).repartition(2 * cores, "src").persist()
 n_edges = edges.count()
 
-t0 = time.monotonic()
-ranks, info = pagerank(edges, fixed_iters={pr_iters})
-ranks.agg(F.sum("rank")).collect()
-t_pr = time.monotonic() - t0
-pr_steady = info["iter_seconds"][2:]
-
-out = {{
-    "n_edges": n_edges, "t_pr": t_pr,
-    "pr_iter_seconds": [round(x, 3) for x in info["iter_seconds"]],
-    "pr_eps": n_edges * {pr_iters} / t_pr,
-    "pr_eps_steady": n_edges / (sum(pr_steady) / len(pr_steady)),
-}}
+out = {{"n_edges": n_edges}}
+if not {skip_pr}:
+    t0 = time.monotonic()
+    ranks, info = pagerank(edges, fixed_iters={pr_iters})
+    ranks.agg(F.sum("rank")).collect()
+    t_pr = time.monotonic() - t0
+    pr_steady = info["iter_seconds"][2:]
+    out.update({{
+        "t_pr": t_pr,
+        "pr_iter_seconds": [round(x, 3) for x in info["iter_seconds"]],
+        "pr_eps": n_edges * {pr_iters} / t_pr,
+        "pr_eps_steady": n_edges / (sum(pr_steady) / len(pr_steady)),
+    }})
 if not {skip_cc}:
     t0 = time.monotonic()
     comps, cinfo = connected_components(edges)
@@ -68,10 +69,11 @@ spark.stop()
 """
 
 
-def run_once(cores: int, edges_path: str, aqe: str, pr_iters: int, skip_cc: bool) -> dict:
+def run_once(cores: int, edges_path: str, aqe: str, pr_iters: int, skip_cc: bool,
+             skip_pr: bool = False) -> dict:
     code = RUN_ONE.format(
         repo=REPO, cores=cores, edges_path=edges_path, aqe=aqe,
-        pr_iters=pr_iters, skip_cc=skip_cc,
+        pr_iters=pr_iters, skip_cc=skip_cc, skip_pr=skip_pr,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -92,6 +94,7 @@ def main() -> None:
     ap.add_argument("--aqe", default="false")
     ap.add_argument("--pr-iters", type=int, default=10)
     ap.add_argument("--skip-cc", action="store_true")
+    ap.add_argument("--skip-pr", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -120,13 +123,15 @@ def main() -> None:
     # interleaved: warmup pair, then (lo, hi) x runs
     for i in range(args.warmup):
         for cores in levels:
-            run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc)
+            run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc, args.skip_pr)
             print(f"  warmup {i} local[{cores}] done", file=sys.stderr)
     for i in range(args.runs):
         for cores in levels:
-            r = run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc)
+            r = run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc, args.skip_pr)
             runs[cores].append(r)
-            msg = f"  run {i} local[{cores}]: pr_eps={r['pr_eps']:.0f} steady={r['pr_eps_steady']:.0f}"
+            msg = f"  run {i} local[{cores}]:"
+            if not args.skip_pr:
+                msg += f" pr_eps={r['pr_eps']:.0f} steady={r['pr_eps_steady']:.0f}"
             if not args.skip_cc:
                 msg += f" cc_eps={r['cc_eps']:.0f}"
             print(msg, file=sys.stderr)
@@ -147,24 +152,27 @@ def main() -> None:
             for l, h in zip(runs[lo], runs[hi])
         ]
 
-    pairs_pr = pair_effs("pr_eps")
-    pairs_pr_steady = pair_effs("pr_eps_steady")
     summary = {
         "n_edges": runs[lo][0]["n_edges"],
         "levels": levels,
         "pr_iters": args.pr_iters,
-        "pr_eps": {c: round(med(c, "pr_eps"), 1) for c in levels},
-        "pr_eps_steady": {c: round(med(c, "pr_eps_steady"), 1) for c in levels},
-        "t_pr": {c: round(med(c, "t_pr"), 1) for c in levels},
-        "efficiency_pr": round((med(hi, "pr_eps") / med(lo, "pr_eps")) / ratio, 3),
-        "efficiency_pr_steady": round(
-            (med(hi, "pr_eps_steady") / med(lo, "pr_eps_steady")) / ratio, 3
-        ),
-        "pair_efficiencies_pr": pairs_pr,
-        "pair_efficiencies_pr_steady": pairs_pr_steady,
-        "efficiency_pr_quietest_pair": max(pairs_pr),
         "target": 0.8,
     }
+    if not args.skip_pr:
+        pairs_pr = pair_effs("pr_eps")
+        pairs_pr_steady = pair_effs("pr_eps_steady")
+        summary.update({
+            "pr_eps": {c: round(med(c, "pr_eps"), 1) for c in levels},
+            "pr_eps_steady": {c: round(med(c, "pr_eps_steady"), 1) for c in levels},
+            "t_pr": {c: round(med(c, "t_pr"), 1) for c in levels},
+            "efficiency_pr": round((med(hi, "pr_eps") / med(lo, "pr_eps")) / ratio, 3),
+            "efficiency_pr_steady": round(
+                (med(hi, "pr_eps_steady") / med(lo, "pr_eps_steady")) / ratio, 3
+            ),
+            "pair_efficiencies_pr": pairs_pr,
+            "pair_efficiencies_pr_steady": pairs_pr_steady,
+            "efficiency_pr_quietest_pair": max(pairs_pr),
+        })
     if not args.skip_cc:
         # CC has no meaningful "steady" per-round throughput: the pointer set
         # collapses after round 1, so later rounds process far fewer edges.
@@ -195,10 +203,12 @@ def main() -> None:
         )
     print(json.dumps(summary))
 
+    suffix = "_cc" if args.skip_pr else ("_pr" if args.skip_cc else "")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_runs.json"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", f"scaling_runs{suffix}.json"), "w") as fh:
         json.dump({"summary": summary, "runs": runs}, fh, indent=1)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    md_name = "BASELINE.md" if not suffix else f"scaling{suffix}.md"
+    with open(os.path.join(REPO, "BENCH", md_name), "w") as fh:
         fh.write(render_md(args, levels, runs, summary, edges_path))
 
 
@@ -224,15 +234,18 @@ def render_md(args, levels, runs, s, edges_path) -> str:
         "",
         f"| metric | local[{lo}] | local[{hi}] | efficiency (target >= 0.8) |",
         "|---|---|---|---|",
-        (
-            f"| PageRank ({s['pr_iters']} iters) eps total | {s['pr_eps'][lo]:.0f} | "
-            f"{s['pr_eps'][hi]:.0f} | **{s['efficiency_pr']}** |"
-        ),
-        (
-            f"| PageRank eps steady-state | {s['pr_eps_steady'][lo]:.0f} | "
-            f"{s['pr_eps_steady'][hi]:.0f} | **{s['efficiency_pr_steady']}** |"
-        ),
     ]
+    if "efficiency_pr" in s:
+        lines += [
+            (
+                f"| PageRank ({s['pr_iters']} iters) eps total | {s['pr_eps'][lo]:.0f} | "
+                f"{s['pr_eps'][hi]:.0f} | **{s['efficiency_pr']}** |"
+            ),
+            (
+                f"| PageRank eps steady-state | {s['pr_eps_steady'][lo]:.0f} | "
+                f"{s['pr_eps_steady'][hi]:.0f} | **{s['efficiency_pr_steady']}** |"
+            ),
+        ]
     if "efficiency_cc" in s:
         lines += [
             (
@@ -248,10 +261,13 @@ def render_md(args, levels, runs, s, edges_path) -> str:
         "host-contention window; the max estimates the uncontended-host value,",
         "the median absorbs contamination):",
         "",
-        f"- PageRank total: {s['pair_efficiencies_pr']} -> quietest pair "
-        f"**{s['efficiency_pr_quietest_pair']}**",
-        f"- PageRank steady: {s['pair_efficiencies_pr_steady']}",
     ]
+    if "efficiency_pr" in s:
+        lines += [
+            f"- PageRank total: {s['pair_efficiencies_pr']} -> quietest pair "
+            f"**{s['efficiency_pr_quietest_pair']}**",
+            f"- PageRank steady: {s['pair_efficiencies_pr_steady']}",
+        ]
     if "pair_efficiencies_cc" in s:
         lines += [
             f"- CC total: {s['pair_efficiencies_cc']} -> quietest pair "
