@@ -46,6 +46,31 @@ round on inputs that were star-shaped to begin with.
 Skew: all aggregates are min() with map-side partial aggregation, so hot
 vertices cost one partial row per map task; the join fan-outs emit exactly
 one row per input edge (never quadratic).
+
+Tail-round coalescing: after round 1 the pointer set collapses to ~V rows,
+but a fixed ``spark.sql.shuffle.partitions`` makes every tail round pay
+2x-cores tasks of near-empty data (pure scheduling overhead; per-pair tail
+efficiency 0.53-0.76 in round 3's protocol). The loop therefore re-derives
+the round's shuffle parallelism from the PREVIOUS round's observed row count
+(free — it rides the convergence Observation):
+``p_round = clamp(ceil(rows / 128k), defaultParallelism, p0)``, applied by
+setting the session's shuffle-partitions conf for the round's plan and
+restoring it afterwards. With AQE on, coalescePartitions does this at
+runtime already; the protocol (and many production iterative jobs) runs
+AQE off, where this is the only mechanism.
+
+Shuffle codec: CC's round-0 exchange phase is bandwidth-bound, and zstd
+shuffle compression measured **-23% round-0 wall** at 60M/local[8] (commit
+0f838f4), while PageRank is ~9% SLOWER under zstd — the right codec is
+per-job. But ``spark.io.compression.codec`` is JVM-static: SerializerManager
+instantiates its codec once (lazy val) from the SparkConf captured at
+SparkEnv creation, and Spark refuses runtime mutation outright (verified
+in-sandbox on 4.1.2: ``spark.conf.set("spark.io.compression.codec", ...)``
+raises AnalysisException CANNOT_MODIFY_CONFIG), so it CANNOT be flipped per
+job inside a shared application.
+Deployment guidance: submit exchange-heavy CC jobs as their own application
+with ``spark.io.compression.codec=zstd`` (tools/scaling_bench.py does
+exactly this for the protocol's CC runs — each measurement is a cold JVM).
 """
 
 from __future__ import annotations
@@ -69,7 +94,7 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return int(row["c"] or 0), int(row["h"] or 0)
 
 
-def _cc_round(e: DataFrame, p: int) -> tuple[DataFrame, DataFrame]:
+def _cc_round(e: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One large-star + small-star round (module docstring has the exchange
     accounting). Returns (round output, large-star cache handle) — the
     caller unpersists the handle once the round's action has run. Requires
@@ -77,7 +102,9 @@ def _cc_round(e: DataFrame, p: int) -> tuple[DataFrame, DataFrame]:
     canonicalization filters self-loops; both stars emit (bigger, smaller)
     pairs and drop u == v). Tolerates duplicate rows in `e` — min-aggregates
     absorb them, the closing distinct restores set semantics — which is what
-    lets round 0 skip the init distinct.
+    lets round 0 skip the init distinct. Shuffle parallelism comes from the
+    session's shuffle-partitions conf, which the caller sets per round
+    (tail-round coalescing — module docstring).
     """
     # ---- large-star: m(x) from two V-sized partial aggregates ---------
     a_out = e.groupBy("u").agg(F.min("v").alias("mo"))
@@ -148,32 +175,46 @@ def connected_components(
     converged = False
     round_secs: list[float] = []
     n_pointer_edges = 0
-    for r in range(start_round, max_rounds):
-        t_r = time.monotonic()
-        e2, ls_cache = _cc_round(e, p)
-        # convergence fingerprint rides the materializing action (Observation)
-        obs = Observation(f"cc_fp_{r}")
-        e2 = e2.observe(
-            obs,
-            F.count(F.lit(1)).alias("c"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        )
-        if checkpointer is not None:
-            e2 = checkpointer.commit(r, e2, {"round_seconds": time.monotonic() - t_r})
-        else:
-            # truncate every round: branching factor ~4/round (SURVEY §4.3.1)
-            e2 = e2.localCheckpoint(eager=True)
-        got = obs.get
-        ls_cache.unpersist()
-        fp2 = (int(got["c"] or 0), int(got["h"] or 0))
-        e = e2
-        rounds = r + 1
-        n_pointer_edges = fp2[0]
-        round_secs.append(time.monotonic() - t_r)
-        if fp is not None and fp2 == fp:
-            converged = True
-            break
-        fp = fp2
+    # tail-round coalescing (module docstring): round 0 runs at the session
+    # parallelism p; each later round's shuffle width is re-derived from the
+    # previous round's observed pointer count, floored at defaultParallelism
+    # (keep every core busy) and capped at p (never widen past the session).
+    rows_per_partition = 1 << 17
+    dp = max(1, spark.sparkContext.defaultParallelism)
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_saved = spark.conf.get(sp_key)
+    p_round = p
+    try:
+        for r in range(start_round, max_rounds):
+            t_r = time.monotonic()
+            spark.conf.set(sp_key, str(p_round))
+            e2, ls_cache = _cc_round(e)
+            # convergence fingerprint rides the materializing action
+            obs = Observation(f"cc_fp_{r}")
+            e2 = e2.observe(
+                obs,
+                F.count(F.lit(1)).alias("c"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            )
+            if checkpointer is not None:
+                e2 = checkpointer.commit(r, e2, {"round_seconds": time.monotonic() - t_r})
+            else:
+                # truncate every round: branching ~4/round (SURVEY §4.3.1)
+                e2 = e2.localCheckpoint(eager=True)
+            got = obs.get
+            ls_cache.unpersist()
+            fp2 = (int(got["c"] or 0), int(got["h"] or 0))
+            e = e2
+            rounds = r + 1
+            n_pointer_edges = fp2[0]
+            round_secs.append(time.monotonic() - t_r)
+            if fp is not None and fp2 == fp:
+                converged = True
+                break
+            fp = fp2
+            p_round = min(p, max(dp, -(-n_pointer_edges // rows_per_partition)))
+    finally:
+        spark.conf.set(sp_key, sp_saved)
 
     comps = (
         verts.join(e.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left")

@@ -81,13 +81,28 @@ def pagerank(
     degree distribution — vertices in roughly the top 1/1000 by out-degree
     (capped at 64k hubs so the broadcast rank slice stays ~1 MB), with a
     floor of 1024 so small/uniform graphs take the identical plain path.
-    Measured at 60M power-law edges/local[8]: +20% steady-state throughput
-    vs the plain shuffle join (BENCH/ab_pr_variants.json). Pass an int to
-    pin the threshold, or None to disable the split.
+    Hubless graphs (max out-degree < floor) skip the exact top-K scan
+    entirely — the max rides the |V| vertex aggregate, so 'auto' costs ZERO
+    extra jobs there (round 3 measured the unconditional top-K pair at
+    ~3.5s fixed overhead at sf0.1). Whatever the cutoff source, if the
+    >=-threshold set inflates past 2x the ~64k target (degree ties on
+    near-uniform graphs), the split is abandoned rather than risk the
+    broadcast limit. Measured at 60M power-law edges/local[8]: +20%
+    steady-state throughput vs the plain shuffle join
+    (BENCH/ab_pr_variants.json). Pass an int to pin the threshold, or None
+    to disable the split.
     """
     spark = edges.sparkSession
     e, verts, p = _prepare(edges, num_partitions)
-    n = verts.count()
+    # one scalar job yields BOTH |V| and max out-degree — the max lets the
+    # 'auto' hub cutoff skip its exact top-K scan entirely on hubless graphs
+    # (measured round 3: the orderBy(desc).limit(K) + filter-count job pair
+    # cost ~3.5s fixed at sf0.1/local[32] only to discover n_hubs == 0)
+    vstats = verts.agg(
+        F.count(F.lit(1)).alias("n"), F.max("out_deg").alias("mx")
+    ).collect()[0]
+    n = int(vstats["n"] or 0)
+    max_out_deg = int(vstats["mx"] or 0)
     n_edges = e.count()
     if n == 0:
         return verts.select("id", F.lit(0.0).alias("rank")), {"iters": 0, "n": 0}
@@ -103,27 +118,37 @@ def pagerank(
         state = verts.withColumn("rank", F.lit(1.0 / n))
 
     n_hubs = 0
+    target = min(65536, max(16, n // 1000))
     if hub_threshold == "auto":
-        # top ~V/1000 out-degree vertices (<= 64k: broadcast slice ~1 MB),
-        # floor 1024 — graphs without real hubs resolve to None and take the
-        # exact same plan as hub_threshold=None. The cutoff is the EXACT
-        # K-th largest out-degree (TakeOrdered over V rows — approxQuantile
-        # at q=0.999 is useless on heavy tails: its 0.001 relative error
-        # spans the entire hub region and collapses to the max).
-        target = min(65536, max(16, n // 1000))
-        kth = (
-            verts.orderBy(F.col("out_deg").desc())
-            .limit(target)
-            .agg(F.min("out_deg").alias("thr"))
-            .collect()[0]["thr"]
-        )
-        hub_threshold = int(max(1024, kth or 0))
+        if max_out_deg < 1024:
+            # no vertex clears the floor — hubless graph, identical plan to
+            # hub_threshold=None with ZERO extra jobs (the max rode vstats)
+            hub_threshold = None
+        else:
+            # top ~V/1000 out-degree vertices (<= 64k: broadcast slice
+            # ~1 MB), floor 1024. The cutoff is the EXACT K-th largest
+            # out-degree (TakeOrdered over V rows — approxQuantile at
+            # q=0.999 is useless on heavy tails: its 0.001 relative error
+            # spans the entire hub region and collapses to the max).
+            kth = (
+                verts.orderBy(F.col("out_deg").desc())
+                .limit(target)
+                .agg(F.min("out_deg").alias("thr"))
+                .collect()[0]["thr"]
+            )
+            hub_threshold = int(max(1024, kth or 0))
 
     hubs = None
     if hub_threshold is not None:
         hub_ids = verts.filter(F.col("out_deg") >= hub_threshold).select("id").persist()
         n_hubs = hub_ids.count()
-        if n_hubs == 0:
+        if n_hubs == 0 or n_hubs > 2 * target:
+            # n_hubs > 2*target: hub_ids takes ALL vertices >= the K-th
+            # out-degree, so degree ties can inflate the set far beyond the
+            # ~64k/1MB broadcast budget (worst case: near-uniform graph with
+            # every degree >= the cutoff). Broadcasting that would risk the
+            # broadcast limit / driver memory — fall back to the plain
+            # shuffle-join path, which handles uniform graphs fine.
             hub_ids.unpersist()
             hub_threshold = None
         else:
@@ -198,6 +223,14 @@ def pagerank(
             F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
             F.sum("rank").alias("total"),
         )
+        if not with_prev:
+            # `pr` exists only to feed the L1 delta, which the CollectMetrics
+            # node just computed upstream — drop it from the committed state
+            # so the next iteration's join shuffle and the checkpoint ship 3
+            # columns, not 4 (the U6 cogroup consumer passes with_prev=True
+            # and keeps the previous vector). Measured: -23% cached state
+            # bytes/iter (tools/ab_state_slim.py).
+            new_state = new_state.select("id", "out_deg", "rank")
 
         do_ckpt = checkpointer is not None and (
             (it % checkpoint_interval == 0) or it == total_iters - 1

@@ -291,6 +291,11 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     the configured shuffle parallelism first. One extra exchange of the raw
     html rows buys cores-wide regex work; a real crawl store (many files,
     many row groups) already scans wide and skips this."""
+    if df.isStreaming:
+        # streaming relations have no static partition count (df.rdd raises)
+        # and micro-batch parallelism is the source's concern — the Stage-A
+        # UDFs apply to the stream unchanged (sources/pages.py contract)
+        return df
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() * 2 <= target:

@@ -1914,32 +1914,37 @@ def m3_frames(spark, sf_dir):
 # redundant-coverage rows (P/W/O/F, already pytest-green) take the tail.
 # ===========================================================================
 
-# Round-3 rotation (VERDICT r2 "Next round" #2): the 33 rows whose only green
-# driver row dated from round 1 move INTO the window, plus the 17 rows whose
-# code changed this round (extraction null-handling, CC round fusion, asof
-# rewrite + merge variant, vectorized m1, versioned checkpoints) or whose
-# oracle guards an algorithm that changed. Rows rotated OUT all have a green
-# round-2 driver row and unchanged implementations.
+# Round-4 rotation (VERDICT r3 "Next round" #4): the 34 rows whose green
+# driver row dates from round 2 move INTO the window, plus the rows whose
+# code changed this round (pagerank hub-auto skip + tie guard + state
+# slimming -> g1; CC tail-round coalescing -> g2; extraction streaming guard
+# -> x1-x3) and flagship rows kept under continuous driver verification.
+# Every row rotated OUT has a green ROUND-3 driver row (CORRECTNESS_r03) and
+# an unchanged implementation, preserving the invariant that no query's
+# driver row is more than one round old.
 _DRIVER_WINDOW = [
-    # --- round-1-stale tail, rotated in ---
-    "p1_project", "p2_filter", "p3_dedup", "p4_self_loop_removal",
-    "j4_left_outer", "j5_left_semi", "j6_left_anti", "j8_range_join",
-    "j10_theta_join", "j11_cross_join",
-    "a3_distinct_agg", "a5_hash_to_min", "a6_mode_agg", "a7_global_agg",
-    "a9_rollup",
-    "w1_ranking", "w2_lag_lead", "w3_frame_agg", "w4_ntile_percent_rank",
-    "o1_global_sort", "o2_topk", "o3_group_topk", "o4_union",
-    "o5_intersect_except",
-    "f1_string_funcs", "f2_hash_funcs", "f3_datetime_funcs", "f4_math_funcs",
-    "f5_array_funcs", "f6_map_struct_funcs", "f7_json_funcs",
-    "f8_conditional_funcs",
-    "g4b_triangles_per_vertex",
+    # --- round-2-stale rows, rotated in ---
+    "s1_parquet_scan", "s2_pages_source", "s4_lg_compat_source",
+    "s5_edge_table_sink", "s6_streaming_pages_source", "s7_metrics_sink",
+    "t1_stream_ingest", "t2_watermark_late_data", "t3_tumbling_window",
+    "t4_session_window", "t5_stream_dedup", "t6_stateful_counts",
+    "u1_scalar_pandas_udf", "u4_grouped_agg_udaf", "u5_udtf",
+    "u6_cogrouped_map",
+    "x4_vertex_ids", "x5_language_filter",
+    "j1_equi_inner", "j2_broadcast_hash",
+    "a1_hash_agg", "a2_degree_count", "a4_approx_distinct",
+    "a10_degree_histogram",
+    "d1_dedup_exact", "d2_ngram_jaccard", "d4_simhash",
+    "d5_embedding_cosine_topk", "d7_language_id", "d8_quality_score",
+    "d9_fingerprint", "d10_token_count",
+    "m2_image_decode_stub", "m3_frame_sample",
     # --- changed this round (re-verify against the driver) ---
+    "g1_pagerank", "g2_connected_components",
     "x1_text_extraction", "x2_href_extraction", "x3_url_normalization",
-    "g1_pagerank", "g2_connected_components", "g3_label_propagation",
-    "g4_triangle_count", "g5_mni_support",
-    "j9_asof_join", "j9b_asof_merge", "j3_skew_salted_join",
-    "m1_binary_metadata", "d6_ann_lsh", "d3_minhash_lsh",
+    # --- flagship rows kept under continuous verification ---
+    "g3_label_propagation", "g4_triangle_count", "g4b_triangles_per_vertex",
+    "g5_mni_support", "j9_asof_join", "j9b_asof_merge",
+    "d3_minhash_lsh", "d6_ann_lsh",
     "u2_grouped_map_csr", "u3_mapinarrow_spmv", "s3_checkpoint_sink",
 ]
 

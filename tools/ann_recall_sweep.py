@@ -1,9 +1,21 @@
-"""d6 ANN recall curve at sf0.1 (VERDICT r2 #7): recall@k vs candidate count
+"""d6 ANN recall curve (VERDICT r2 #7, r3 #8): recall@k vs candidate count
 over (n_tables, probe_radius), against the exact cosine_topk ground truth.
 
+Two fixtures:
+  --fixture sf         the driver's sf embeddings table (i.i.d. vectors — the
+                       DOCUMENTED WORST CASE for hyperplane LSH: no cluster
+                       structure means hash agreement carries minimal signal)
+  --fixture clustered  seeded mixture-of-Gaussians (64 unit-norm centers,
+                       per-point Gaussian noise) — realistic embedding
+                       geometry, where near neighbors share most hyperplane
+                       signs and recall at a given candidate budget is higher.
+
+Curves are stored side by side under their fixture key in
+BENCH/ann_recall.json, so the ship config's recall/candidate trade is
+evidenced on both geometries.
+
 Usage: python tools/ann_recall_sweep.py [--sf /root/testdata/sf0.1]
-           [--k 10] [--n-queries 20]
-Writes BENCH/ann_recall.json and prints a markdown table.
+           [--fixture sf|clustered] [--k 10] [--n-queries 20]
 """
 
 from __future__ import annotations
@@ -25,6 +37,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=20)
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--fixture", choices=("sf", "clustered"), default="sf")
+    ap.add_argument("--n-vectors", type=int, default=50_000, help="clustered fixture size")
+    ap.add_argument("--n-clusters", type=int, default=64)
+    ap.add_argument("--cluster-std", type=float, default=0.25)
+    ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -34,7 +51,29 @@ def main() -> None:
 
     spark = get_spark("annsweep", cores=args.cores, shuffle_partitions=2 * args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(f"{args.sf}/embeddings.parquet").persist()
+    if args.fixture == "clustered":
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(args.seed)
+        sf_dim = len(
+            spark.read.parquet(f"{args.sf}/embeddings.parquet")
+            .select("embedding").first()[0]
+        )
+        centers = rng.standard_normal((args.n_clusters, sf_dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        assign = np.arange(args.n_vectors) % args.n_clusters
+        pts = centers[assign] + args.cluster_std * rng.standard_normal(
+            (args.n_vectors, sf_dim)
+        )
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(args.n_vectors),
+                 "embedding": [row.astype("float32").tolist() for row in pts]}
+            )
+        ).repartition(2 * args.cores).persist()
+    else:
+        emb = spark.read.parquet(f"{args.sf}/embeddings.parquet").persist()
     n_corpus = emb.count()
     dim = len(emb.select("embedding").first()[0])
     queries = emb.orderBy("vec_id").limit(args.n_queries).persist()
@@ -80,15 +119,30 @@ def main() -> None:
         )
         print(f"  tables={n_tables} radius={radius}: recall={results[-1]['recall']}", file=sys.stderr)
 
-    out = {
-        "sf_dir": args.sf, "k": args.k, "n_queries": args.n_queries,
+    curve = {
+        "k": args.k, "n_queries": args.n_queries,
         "n_corpus": n_corpus, "dim": dim, "n_bits": 8, "results": results,
     }
+    if args.fixture == "clustered":
+        curve.update({"n_clusters": args.n_clusters,
+                      "cluster_std": args.cluster_std, "seed": args.seed})
+        key = "clustered_mog"
+    else:
+        curve["sf_dir"] = args.sf
+        key = "iid_sf"
+    path = os.path.join(REPO, "BENCH", "ann_recall.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "ann_recall.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    existing: dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = json.load(fh)
+        if "results" in existing:  # pre-round-4 single-curve layout
+            existing = {"iid_sf": existing}
+    existing[key] = curve
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=1)
 
-    print(f"\nANN recall@{args.k}, sf0.1 ({n_corpus} vectors, dim {dim}, 8-bit signatures, {args.n_queries} queries)\n")
+    print(f"\nANN recall@{args.k}, {args.fixture} fixture ({n_corpus} vectors, dim {dim}, 8-bit signatures, {args.n_queries} queries)\n")
     print("| n_tables | probe_radius | recall | candidates vs brute force |")
     print("|---|---|---|---|")
     for r in results:

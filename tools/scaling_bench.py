@@ -36,7 +36,8 @@ from scalemine_spark.algorithms import pagerank, connected_components
 
 cores = {cores}
 spark = get_spark("scaling", cores=cores, shuffle_partitions=2 * cores,
-                  extra_conf={{"spark.sql.adaptive.enabled": {aqe!r}}})
+                  extra_conf={{"spark.sql.adaptive.enabled": {aqe!r},
+                               "spark.io.compression.codec": {codec!r}}})
 spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet({edges_path!r}).repartition(2 * cores, "src").persist()
 n_edges = edges.count()
@@ -70,10 +71,10 @@ spark.stop()
 
 
 def run_once(cores: int, edges_path: str, aqe: str, pr_iters: int, skip_cc: bool,
-             skip_pr: bool = False) -> dict:
+             skip_pr: bool = False, codec: str = "lz4") -> dict:
     code = RUN_ONE.format(
         repo=REPO, cores=cores, edges_path=edges_path, aqe=aqe,
-        pr_iters=pr_iters, skip_cc=skip_cc, skip_pr=skip_pr,
+        pr_iters=pr_iters, skip_cc=skip_cc, skip_pr=skip_pr, codec=codec,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
@@ -82,6 +83,24 @@ def run_once(cores: int, edges_path: str, aqe: str, pr_iters: int, skip_cc: bool
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT line (rc={out.returncode}):\n{out.stderr[-2000:]}")
+
+
+def run_slot(args, cores: int) -> dict:
+    """One (rep, level) protocol slot. PR and CC run in SEPARATE cold JVMs so
+    each gets its best shuffle codec — spark.io.compression.codec is JVM-
+    static (components.py module docstring), and the measured optima differ:
+    zstd is -23% on CC's bandwidth-bound round 0 but +9% wall on PageRank
+    (commit 0f838f4's A/B), so a shared app must pick one and lose on the
+    other. A cold JVM per (job, level) is also exactly the deployment shape
+    the protocol models (spark-submit per job with per-job conf)."""
+    out: dict = {}
+    if not args.skip_pr:
+        out.update(run_once(cores, args.edges_path, args.aqe, args.pr_iters,
+                            skip_cc=True, skip_pr=False, codec=args.pr_codec))
+    if not args.skip_cc:
+        out.update(run_once(cores, args.edges_path, args.aqe, args.pr_iters,
+                            skip_cc=False, skip_pr=True, codec=args.cc_codec))
+    return out
 
 
 def main() -> None:
@@ -95,6 +114,8 @@ def main() -> None:
     ap.add_argument("--pr-iters", type=int, default=10)
     ap.add_argument("--skip-cc", action="store_true")
     ap.add_argument("--skip-pr", action="store_true")
+    ap.add_argument("--pr-codec", default="lz4", help="shuffle codec for PR runs (lz4 measured fastest)")
+    ap.add_argument("--cc-codec", default="zstd", help="shuffle codec for CC runs (zstd: -23%% on round 0)")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -117,17 +138,18 @@ def main() -> None:
         extract_edges(pages).repartition(64, "src").write.mode("overwrite").parquet(edges_path)
         spark.stop()
 
+    args.edges_path = edges_path
     levels = [int(x) for x in args.levels.split(",")]
     runs: dict[int, list[dict]] = {c: [] for c in levels}
 
     # interleaved: warmup pair, then (lo, hi) x runs
     for i in range(args.warmup):
         for cores in levels:
-            run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc, args.skip_pr)
+            run_slot(args, cores)
             print(f"  warmup {i} local[{cores}] done", file=sys.stderr)
     for i in range(args.runs):
         for cores in levels:
-            r = run_once(cores, edges_path, args.aqe, args.pr_iters, args.skip_cc, args.skip_pr)
+            r = run_slot(args, cores)
             runs[cores].append(r)
             msg = f"  run {i} local[{cores}]:"
             if not args.skip_pr:
@@ -223,7 +245,10 @@ def render_md(args, levels, runs, s, edges_path) -> str:
         f"edge table {os.path.basename(edges_path)} ({s['n_edges']} edges, seed 42).",
         f"Config per run: shuffle partitions = 2x cores, AQE={args.aqe}, Arrow on,",
         "driver memory 8g, shuffle dirs on tmpfs (/dev/shm), edge cache",
-        "repartitioned+sorted on src. Level pair local[2] vs local[8] chosen after",
+        "repartitioned+sorted on src. PR and CC each run in their own cold JVM",
+        f"with their measured-best shuffle codec (PR={args.pr_codec},",
+        f"CC={args.cc_codec}; spark.io.compression.codec is JVM-static — see",
+        "components.py docstring). Level pair local[2] vs local[8] chosen after",
         "measuring the box's raw CPU scaling ceiling (host oversubscription:",
         "8->32 python processes scale only 2.35x, while 2->8 scales 3.6x, i.e.",
         "ceiling 0.91 — no job can show 0.8 at 8->32 on this box).",
