@@ -171,6 +171,12 @@ def main() -> None:
         "value_steady": round(pr_eps_steady, 1),
         "rep_queries": {k: [round(x, 3) for x in v] for k, v in reps.items()},
         "loadavg_per_rep": loadavg,
+        # the bench's own load1 at rep starts measured <= 0.6*CPUS (sections
+        # have serial phases and load1 is a 1-min EMA); anything clearly above
+        # CPUS means another job shared the host and the recorded numbers
+        # understate the engine. Calibrated on an induced 32-thread burst:
+        # quiet max 19.5, contended sample 41 at CPUS=32 -> 1.25x threshold.
+        "contended": bool(max(l[0] for l in loadavg) > 1.25 * CPUS),
         "cc_rounds": cc_rounds,
         "cc_edges_per_sec": round(cc_eps, 1),
         "pr_iters": 10,
