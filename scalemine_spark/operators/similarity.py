@@ -4,11 +4,21 @@ cosine_topk — exact brute-force baseline: broadcast the (small) query set,
 cross-join against the corpus, dot products via zip_with/aggregate (JVM
 higher-order functions — no Python), window top-k.
 
-ann_lsh — the scale path: random-hyperplane LSH signatures (hyperplanes are
-seeded numpy constants embedded as array literals, fully deterministic),
-bucket equi-join, exact re-rank inside the bucket. At 10^12 vectors the
-bucket join replaces the O(N*Q) cross product with O(N) signature hashing
-plus per-bucket candidate lists.
+ann_lsh — data-independent scale path: random-hyperplane LSH signatures
+(hyperplanes are seeded numpy constants embedded as array literals, fully
+deterministic), bucket equi-join, exact re-rank inside the bucket. At 10^12
+vectors the bucket join replaces the O(N*Q) cross product with O(N)
+signature hashing plus per-bucket candidate lists.
+
+ann_ivf — data-dependent scale path (inverted-file index): each corpus
+vector is assigned to its nearest of K coarse centroids (ONE partial-
+aggregatable argmax pass — map-side combine collapses the K candidate rows
+per vector before any shuffle), queries probe their n_probe nearest
+centroid lists, exact re-rank inside the probed lists. Scan fraction is
+~n_probe/K of the corpus per query regardless of corpus size. Centroids are
+pluggable (pass a trained k-means codebook at production scale); the
+default codebook is the first K corpus vectors — deterministic, so the
+driver oracle replays the whole index value-for-value in SQL.
 """
 
 from __future__ import annotations
@@ -126,6 +136,88 @@ def ann_lsh(
     cands = cands.dropDuplicates(["qid", "vec_id"])
     sims = cands.select(
         "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """(qid, vec_id, cos): approximate top-k via an IVF (inverted-file) index.
+
+    Index build = ONE pass over the corpus: cross the corpus with the K
+    broadcast centroids and take argmax cosine per vector with a partial-
+    aggregatable ``max(struct(sim, -cid))`` — each map task emits at most
+    one partial row per vector, so the K-way fan-out never reaches a
+    shuffle. Query = the same argmax on the (small) query side keeping the
+    top ``n_probe`` centroids, then an equi-join on the centroid id against
+    the assigned corpus and an exact cosine re-rank. Per query the scan
+    volume is the n_probe probed lists (~``n_probe/K`` of the corpus,
+    independent of corpus size) — never all-pairs.
+
+    ``centroids``: optional (K, dim) float array — pass a k-means codebook
+    at production scale (recall tracks quantizer quality; the machinery is
+    identical). Default: the first ``n_centroids`` corpus vectors by
+    ``vec_id`` — a deterministic codebook the driver oracle replays
+    value-for-value in DuckDB. Similarities are rounded to 6 decimals
+    BEFORE every argmax/rank (ties then break on id), so the assignment is
+    reproducible across engines and partitionings.
+    """
+    if centroids is not None:
+        import pandas as pd
+
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cid": range(len(centroids)),
+                    "cv": [[float(x) for x in row] for row in centroids],
+                }
+            )
+        ).select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("cv").cast("array<double>").alias("cv"),
+        )
+    else:
+        cent = corpus.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+
+    csim = F.round(cosine(F.col("embedding"), F.col("cv")), 6)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("b"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", "embedding", (-F.col("b.ncid")).alias("cid"))
+    )
+
+    qbase = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    qsim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("qsim").desc(), "cid")
+    qprobes = (
+        qbase.crossJoin(F.broadcast(cent))
+        .select("qid", "qv", "cid", qsim.alias("qsim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "qv", "cid")
+    )
+
+    sims = (
+        assigned.join(F.broadcast(qprobes), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

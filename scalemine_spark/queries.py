@@ -1294,6 +1294,50 @@ def d6_ann_lsh(spark, sf_dir):
 
 
 @q(
+    "d11_ann_ivf",
+    """WITH cent AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16),
+ac AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS MATERIALIZED (SELECT vec_id, embedding, cid FROM ac WHERE rn = 1),
+q AS MATERIALIZED (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+qp AS MATERIALIZED (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.cid) AS rn
+    FROM q CROSS JOIN cent c) x WHERE rn <= 4),
+cand AS MATERIALIZED (
+  SELECT qp.qid, a.vec_id,
+         ROUND(list_cosine_similarity(qp.qv, CAST(a.embedding AS DOUBLE[])), 6) AS cos
+  FROM qp JOIN assigned a USING (cid) WHERE a.vec_id <> qp.qid)
+SELECT qid, vec_id, cos FROM (
+  SELECT qid, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM cand) x WHERE rn <= 3""",
+)
+def d11_ann_ivf(spark, sf_dir):
+    """IVF ANN (the data-dependent counterpart to d6's LSH): K=16 coarse
+    centroids, corpus assigned by one partial-aggregatable argmax pass,
+    queries probe their 4 nearest lists, exact cosine re-rank inside. The
+    default codebook (first 16 corpus vectors) is deterministic, so unlike
+    d6's recall-bound contract this oracle replays the ENTIRE index —
+    assignment, probe choice, re-rank — value-for-value in DuckDB. All
+    similarities round to 6 decimals before argmax/rank with id tie-breaks,
+    making the ordering engine-independent."""
+    from scalemine_spark.operators.similarity import ann_ivf
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_ivf(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=16, n_probe=4
+    )
+
+
+@q(
     "d7_language_id",
     """SELECT doc_id, lang,
        CASE WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' and ') THEN 'en'
@@ -1941,8 +1985,12 @@ _DRIVER_WINDOW = [
     # --- changed this round (re-verify against the driver) ---
     "g1_pagerank", "g2_connected_components",
     "x1_text_extraction", "x2_href_extraction", "x3_url_normalization",
+    # --- new this round ---
+    "d11_ann_ivf",
     # --- flagship rows kept under continuous verification ---
-    "g3_label_propagation", "g4_triangle_count", "g4b_triangles_per_vertex",
+    # (g4b yields its slot to d11 — its r03 driver row is green and the
+    # triangle kernel it shares with g4 is unchanged)
+    "g3_label_propagation", "g4_triangle_count",
     "g5_mni_support", "j9_asof_join", "j9b_asof_merge",
     "d3_minhash_lsh", "d6_ann_lsh",
     "u2_grouped_map_csr", "u3_mapinarrow_spmv", "s3_checkpoint_sink",

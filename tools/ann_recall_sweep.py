@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=20)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--fixture", choices=("sf", "clustered"), default="sf")
+    ap.add_argument("--algo", choices=("lsh", "ivf"), default="lsh")
+    ap.add_argument("--n-centroids", type=int, default=64)
     ap.add_argument("--n-vectors", type=int, default=50_000, help="clustered fixture size")
     ap.add_argument("--n-clusters", type=int, default=64)
     ap.add_argument("--cluster-std", type=float, default=0.25)
@@ -85,7 +87,33 @@ def main() -> None:
     n_truth = sum(len(v) for v in truth.values())
 
     results = []
-    grid = list(itertools.product((1, 2, 4), (0, 1, 2))) + [(6, 3)]  # (6,3) = d6 ship config
+    if args.algo == "ivf":
+        from scalemine_spark.operators.similarity import ann_ivf
+
+        for n_probe in (1, 2, 4, 8):
+            t0 = time.monotonic()
+            approx = ann_ivf(
+                emb, queries, k=args.k, n_centroids=args.n_centroids, n_probe=n_probe
+            )
+            got: dict = {}
+            for r in approx.collect():
+                got.setdefault(r["qid"], set()).add(r["vec_id"])
+            hit = sum(len(truth[q] & got.get(q, set())) for q in truth)
+            results.append(
+                {
+                    "n_centroids": args.n_centroids,
+                    "n_probe": n_probe,
+                    "recall": round(hit / n_truth, 4),
+                    # each query scans n_probe of n_centroids inverted lists
+                    "candidate_frac_of_bruteforce": round(n_probe / args.n_centroids, 4),
+                    "seconds": round(time.monotonic() - t0, 1),
+                }
+            )
+            print(f"  ivf K={args.n_centroids} probe={n_probe}: recall={results[-1]['recall']}",
+                  file=sys.stderr)
+    grid = [] if args.algo == "ivf" else (
+        list(itertools.product((1, 2, 4), (0, 1, 2))) + [(6, 3)]  # (6,3) = d6 ship config
+    )
     for n_tables, radius in grid:
         t0 = time.monotonic()
         approx = ann_lsh(
@@ -130,6 +158,8 @@ def main() -> None:
     else:
         curve["sf_dir"] = args.sf
         key = "iid_sf"
+    if args.algo == "ivf":
+        key += "_ivf"
     path = os.path.join(REPO, "BENCH", "ann_recall.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     existing: dict = {}
@@ -142,14 +172,22 @@ def main() -> None:
     with open(path, "w") as fh:
         json.dump(existing, fh, indent=1)
 
-    print(f"\nANN recall@{args.k}, {args.fixture} fixture ({n_corpus} vectors, dim {dim}, 8-bit signatures, {args.n_queries} queries)\n")
-    print("| n_tables | probe_radius | recall | candidates vs brute force |")
-    print("|---|---|---|---|")
-    for r in results:
-        print(
-            f"| {r['n_tables']} | {r['probe_radius']} | {r['recall']} | "
-            f"{100 * r['candidate_frac_of_bruteforce']:.1f}% |"
-        )
+    print(f"\nANN ({args.algo}) recall@{args.k}, {args.fixture} fixture "
+          f"({n_corpus} vectors, dim {dim}, {args.n_queries} queries)\n")
+    if args.algo == "ivf":
+        print("| n_centroids | n_probe | recall | corpus scanned per query |")
+        print("|---|---|---|---|")
+        for r in results:
+            print(f"| {r['n_centroids']} | {r['n_probe']} | {r['recall']} | "
+                  f"{100 * r['candidate_frac_of_bruteforce']:.1f}% |")
+    else:
+        print("| n_tables | probe_radius | recall | candidates vs brute force |")
+        print("|---|---|---|---|")
+        for r in results:
+            print(
+                f"| {r['n_tables']} | {r['probe_radius']} | {r['recall']} | "
+                f"{100 * r['candidate_frac_of_bruteforce']:.1f}% |"
+            )
     spark.stop()
 
 
