@@ -151,6 +151,10 @@ def main() -> None:
         cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).collect()
         record("q_cosine", time.monotonic() - t0)
 
+    # closing sample: contention that starts mid-final-rep would otherwise
+    # be invisible (rep-START samples only) and the flag would miss it
+    loadavg.append([round(x, 2) for x in os.getloadavg()])
+
     med = {k: statistics.median(v) for k, v in reps.items()}
     # headline: median-rep total-wall SpMV eps, plus the steady-state variant
     pr_eps = statistics.median(n_edges * 10 / t for t in reps["pagerank10"])

@@ -163,12 +163,14 @@ def connected_components(
 
     start_round = 0
     fp: tuple[int, int] | None = None
+    resumed_rows: int | None = None
     if checkpointer is not None:
         last = checkpointer.latest()
         if last is not None:
             e = checkpointer.read_state(spark, last)
             start_round = last + 1
             fp = _fingerprint(e)  # committed state is deduped -> comparable
+            resumed_rows = fp[0]  # seed tail coalescing on the resume path
 
     t0 = time.monotonic()
     rounds = start_round
@@ -179,11 +181,21 @@ def connected_components(
     # parallelism p; each later round's shuffle width is re-derived from the
     # previous round's observed pointer count, floored at defaultParallelism
     # (keep every core busy) and capped at p (never widen past the session).
+    # The width is applied through the session shuffle-partitions conf
+    # (restored in the finally) — NOTE this is session-global while the loop
+    # runs: a concurrent query planned on the same SparkSession during a
+    # tail round would see the narrowed width. The engine's jobs run one
+    # algorithm per session (cli/bench/protocol all do); a shared-session
+    # service should hand CC its own session.
     rows_per_partition = 1 << 17
     dp = max(1, spark.sparkContext.defaultParallelism)
     sp_key = "spark.sql.shuffle.partitions"
     sp_saved = spark.conf.get(sp_key)
     p_round = p
+    if resumed_rows is not None:
+        # the resume fingerprint already counted the pointer set — a resumed
+        # tail round coalesces immediately instead of paying full width once
+        p_round = min(p, max(dp, -(-resumed_rows // rows_per_partition)))
     try:
         for r in range(start_round, max_rounds):
             t_r = time.monotonic()

@@ -66,6 +66,7 @@ def pagerank(
     checkpoint_interval: int = 1,
     num_partitions: int | None = None,
     hub_threshold: int | str | None = "auto",
+    hub_floor: int = 1024,
     with_prev: bool = False,
     spmv: str = "codegen",
 ) -> tuple[DataFrame, dict]:
@@ -81,16 +82,18 @@ def pagerank(
     degree distribution — vertices in roughly the top 1/1000 by out-degree
     (capped at 64k hubs so the broadcast rank slice stays ~1 MB), with a
     floor of 1024 so small/uniform graphs take the identical plain path.
-    Hubless graphs (max out-degree < floor) skip the exact top-K scan
+    Hubless graphs (max out-degree < hub_floor) skip the exact top-K scan
     entirely — the max rides the |V| vertex aggregate, so 'auto' costs ZERO
     extra jobs there (round 3 measured the unconditional top-K pair at
-    ~3.5s fixed overhead at sf0.1). Whatever the cutoff source, if the
-    >=-threshold set inflates past 2x the ~64k target (degree ties on
-    near-uniform graphs), the split is abandoned rather than risk the
-    broadcast limit. Measured at 60M power-law edges/local[8]: +20%
-    steady-state throughput vs the plain shuffle join
-    (BENCH/ab_pr_variants.json). Pass an int to pin the threshold, or None
-    to disable the split.
+    ~3.5s fixed overhead at sf0.1). Inflation guard: on the auto path a hub
+    set beyond 2x the ~V/1000 target means degree ties defeated the
+    quantile pick (near-uniform graph) — abandon the split; a user-PINNED
+    int threshold is honored up to an absolute broadcast budget of 128k hub
+    ids (~1 MB of longs) instead, so small graphs with a few hundred
+    qualifying hubs keep their explicitly requested split. Measured at 60M
+    power-law edges/local[8]: +20% steady-state throughput vs the plain
+    shuffle join (BENCH/ab_pr_variants.json). Pass an int to pin the
+    threshold, or None to disable the split.
     """
     spark = edges.sparkSession
     e, verts, p = _prepare(edges, num_partitions)
@@ -119,8 +122,9 @@ def pagerank(
 
     n_hubs = 0
     target = min(65536, max(16, n // 1000))
-    if hub_threshold == "auto":
-        if max_out_deg < 1024:
+    was_auto = hub_threshold == "auto"
+    if was_auto:
+        if max_out_deg < hub_floor:
             # no vertex clears the floor — hubless graph, identical plan to
             # hub_threshold=None with ZERO extra jobs (the max rode vstats)
             hub_threshold = None
@@ -136,19 +140,20 @@ def pagerank(
                 .agg(F.min("out_deg").alias("thr"))
                 .collect()[0]["thr"]
             )
-            hub_threshold = int(max(1024, kth or 0))
+            hub_threshold = int(max(hub_floor, kth or 0))
 
     hubs = None
     if hub_threshold is not None:
+        # hub_ids takes ALL vertices >= the cutoff, so degree ties can
+        # inflate the set far beyond the intended size (worst case:
+        # near-uniform graph with every degree >= the cutoff). Auto path:
+        # > 2x target means the quantile pick was defeated — abandon.
+        # Pinned path: honor the user up to an absolute ~1 MB broadcast
+        # budget (128k long ids) — docstring has the rationale.
+        hub_cap = 2 * target if was_auto else 131072
         hub_ids = verts.filter(F.col("out_deg") >= hub_threshold).select("id").persist()
         n_hubs = hub_ids.count()
-        if n_hubs == 0 or n_hubs > 2 * target:
-            # n_hubs > 2*target: hub_ids takes ALL vertices >= the K-th
-            # out-degree, so degree ties can inflate the set far beyond the
-            # ~64k/1MB broadcast budget (worst case: near-uniform graph with
-            # every degree >= the cutoff). Broadcasting that would risk the
-            # broadcast limit / driver memory — fall back to the plain
-            # shuffle-join path, which handles uniform graphs fine.
+        if n_hubs == 0 or n_hubs > hub_cap:
             hub_ids.unpersist()
             hub_threshold = None
         else:

@@ -46,20 +46,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
-    """(qid, vec_id, cos): exact top-k cosine neighbors per query vector."""
-    qs = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    sims = (
-        corpus.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
-        )
+def _rerank_topk(cands: DataFrame, k: int) -> DataFrame:
+    """Shared exact re-rank: (qid, qv, vec_id, embedding) candidate rows ->
+    (qid, vec_id, cos) top-k per query. The 6-decimal rounding BEFORE the
+    rank and the (cos desc, vec_id) tie-break are load-bearing — every
+    DuckDB oracle (d5/d6/d11) replays exactly this ordering, so all three
+    similarity operators must rank identically."""
+    sims = cands.select(
+        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 3) -> DataFrame:
+    """(qid, vec_id, cos): exact top-k cosine neighbors per query vector."""
+    qs = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    cands = corpus.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid"))
+    return _rerank_topk(cands, k)
 
 
 def _hyperplanes(n_bits: int, dim: int, seed: int = 1234) -> list[list[float]]:
@@ -134,11 +138,7 @@ def ann_lsh(
         cand = cand.select("qid", "qv", "vec_id", "embedding")
         cands = cand if cands is None else cands.unionByName(cand)
     cands = cands.dropDuplicates(["qid", "vec_id"])
-    sims = cands.select(
-        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    return _rerank_topk(cands, k)
 
 
 def ann_ivf(
@@ -185,7 +185,13 @@ def ann_ivf(
             F.col("cv").cast("array<double>").alias("cv"),
         )
     else:
-        cent = corpus.filter(F.col("vec_id") < n_centroids).select(
+        # genuinely the first K BY vec_id (TakeOrdered — cheap), not an
+        # id-value filter: corpora whose ids are not 0-based (sharded /
+        # re-keyed tables) would otherwise yield an EMPTY codebook and a
+        # silently empty result. On 0-based tables (the driver fixture)
+        # this selects the identical rows the DuckDB oracle's
+        # `vec_id < K` predicate replays.
+        cent = corpus.orderBy("vec_id").limit(n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
         )
 
@@ -212,12 +218,7 @@ def ann_ivf(
         .select("qid", "qv", "cid")
     )
 
-    sims = (
-        assigned.join(F.broadcast(qprobes), "cid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos")
-        )
+    cands = assigned.join(F.broadcast(qprobes), "cid").filter(
+        F.col("vec_id") != F.col("qid")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
-    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    return _rerank_topk(cands, k)

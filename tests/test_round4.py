@@ -78,15 +78,32 @@ def test_ann_ivf_assignment_is_partial_aggregate(spark):
 
 
 def test_pagerank_tie_inflated_hub_set_falls_back(spark):
-    """A threshold that qualifies (nearly) every vertex must NOT broadcast
-    them all: the guard (n_hubs > 2 * target, target floor 16) abandons the
-    split, and ranks still match numpy."""
+    """Auto path on a near-uniform graph: degree ties qualify EVERY vertex
+    at the K-th cutoff, so the guard (n_hubs > 2 * target, target floor 16)
+    abandons the split rather than broadcast the whole vertex set — and
+    ranks still match numpy. hub_floor=1 stands in for the production 1024
+    floor so a 40-vertex fixture can reach the top-K path."""
+    from scalemine_spark.algorithms import pagerank
+
+    pairs = [(i, (i + 1) % 40) for i in range(40)] + [(i, (i + 2) % 40) for i in range(40)]
+    e = edges_df(spark, pairs)
+    ranks, info = pagerank(e, fixed_iters=8, hub_threshold="auto", hub_floor=1)
+    assert info["hub_threshold"] is None  # guard tripped: 40 tied hubs > 32
+    exp = pagerank_numpy(pairs, iters=8)
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    assert all(abs(got[v] - exp[v]) < 1e-9 for v in exp)
+
+
+def test_pagerank_pinned_threshold_honored_on_small_graphs(spark):
+    """A user-PINNED hub threshold matching a few dozen hubs is far inside
+    the absolute broadcast budget and must NOT be silently disabled (the
+    auto-path 2x-target guard does not apply to explicit requests)."""
     from scalemine_spark.algorithms import pagerank
 
     pairs = [(i, (i + 1) % 40) for i in range(40)] + [(i, (i + 2) % 40) for i in range(40)]
     e = edges_df(spark, pairs)
     ranks, info = pagerank(e, fixed_iters=8, hub_threshold=1)
-    assert info["hub_threshold"] is None  # guard tripped: 40 hubs > 32
+    assert info["hub_threshold"] == 1 and info["n_hubs"] == 40
     exp = pagerank_numpy(pairs, iters=8)
     got = {r["id"]: r["rank"] for r in ranks.collect()}
     assert all(abs(got[v] - exp[v]) < 1e-9 for v in exp)

@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--fixture", choices=("sf", "clustered"), default="sf")
     ap.add_argument("--algo", choices=("lsh", "ivf"), default="lsh")
     ap.add_argument("--n-centroids", type=int, default=64)
+    ap.add_argument(
+        "--codebook", choices=("firstk", "kmeans"), default="firstk",
+        help="IVF codebook: 'firstk' = the deterministic oracle default "
+             "(arbitrary vectors — a deliberately weak quantizer), 'kmeans' "
+             "= 15 seeded Lloyd iterations on a 20k sample (the production "
+             "path: recall tracks quantizer quality)",
+    )
     ap.add_argument("--n-vectors", type=int, default=50_000, help="clustered fixture size")
     ap.add_argument("--n-clusters", type=int, default=64)
     ap.add_argument("--cluster-std", type=float, default=0.25)
@@ -78,7 +85,17 @@ def main() -> None:
         emb = spark.read.parquet(f"{args.sf}/embeddings.parquet").persist()
     n_corpus = emb.count()
     dim = len(emb.select("embedding").first()[0])
-    queries = emb.orderBy("vec_id").limit(args.n_queries).persist()
+    if args.algo == "ivf":
+        # the default IVF codebook is the FIRST n_centroids vectors — taking
+        # queries from the same prefix would make every query a codebook
+        # member (its own list is always probed with self-similarity 1.0),
+        # biasing recall upward. Measure with disjoint queries instead.
+        queries = (
+            emb.filter(F.col("vec_id") >= args.n_centroids)
+            .orderBy("vec_id").limit(args.n_queries).persist()
+        )
+    else:
+        queries = emb.orderBy("vec_id").limit(args.n_queries).persist()
 
     truth_rows = cosine_topk(emb, queries, k=args.k).collect()
     truth: dict = {}
@@ -90,10 +107,30 @@ def main() -> None:
     if args.algo == "ivf":
         from scalemine_spark.operators.similarity import ann_ivf
 
+        centroids = None
+        if args.codebook == "kmeans":
+            import numpy as np
+
+            sample = np.array(
+                [r["embedding"] for r in emb.orderBy("vec_id").limit(20_000).collect()],
+                dtype="float64",
+            )
+            rng = np.random.default_rng(args.seed)
+            centroids = sample[rng.choice(len(sample), args.n_centroids, replace=False)]
+            for _ in range(15):  # Lloyd iterations, cosine assignment
+                sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+                cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+                assign = (sn @ cn.T).argmax(axis=1)
+                for c in range(args.n_centroids):
+                    m = assign == c
+                    if m.any():
+                        centroids[c] = sample[m].mean(axis=0)
+
         for n_probe in (1, 2, 4, 8):
             t0 = time.monotonic()
             approx = ann_ivf(
-                emb, queries, k=args.k, n_centroids=args.n_centroids, n_probe=n_probe
+                emb, queries, k=args.k, n_centroids=args.n_centroids,
+                n_probe=n_probe, centroids=centroids,
             )
             got: dict = {}
             for r in approx.collect():
@@ -160,6 +197,9 @@ def main() -> None:
         key = "iid_sf"
     if args.algo == "ivf":
         key += "_ivf"
+        curve["codebook"] = args.codebook
+        if args.codebook == "kmeans":
+            key += "_kmeans"
     path = os.path.join(REPO, "BENCH", "ann_recall.json")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     existing: dict = {}

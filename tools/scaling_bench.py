@@ -118,6 +118,8 @@ def main() -> None:
     ap.add_argument("--cc-codec", default="zstd", help="shuffle codec for CC runs (zstd: -23%% on round 0)")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
+    if args.skip_pr and args.skip_cc:
+        ap.error("--skip-pr and --skip-cc together leave nothing to measure")
 
     edges_path = args.edges or os.path.join(REPO, ".bench_cache", f"edges_n{args.pages}.parquet")
     if not os.path.exists(edges_path):
