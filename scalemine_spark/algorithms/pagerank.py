@@ -121,10 +121,12 @@ def pagerank(
         state = verts.withColumn("rank", F.lit(1.0 / n))
 
     n_hubs = 0
+    hub_reason = None  # why no hub split is active (info['hub_reason'])
     target = min(65536, max(16, n // 1000))
     was_auto = hub_threshold == "auto"
     if was_auto:
         if max_out_deg < hub_floor:
+            hub_reason = "below_hub_floor"
             # no vertex clears the floor — hubless graph, identical plan to
             # hub_threshold=None with ZERO extra jobs (the max rode vstats)
             hub_threshold = None
@@ -154,6 +156,24 @@ def pagerank(
         hub_ids = verts.filter(F.col("out_deg") >= hub_threshold).select("id").persist()
         n_hubs = hub_ids.count()
         if n_hubs == 0 or n_hubs > hub_cap:
+            # record WHY the split was dropped (info['hub_reason']) — and for
+            # a user-PINNED threshold that hit the broadcast-budget cap,
+            # warn loudly: silently flipping info['hub_threshold'] to None
+            # was too easy to miss (round-4 advisory).
+            hub_reason = (
+                "no_vertices_qualify" if n_hubs == 0
+                else ("tie_inflation" if was_auto else "broadcast_budget_cap")
+            )
+            if not was_auto and n_hubs > hub_cap:
+                import warnings
+
+                warnings.warn(
+                    f"pagerank: pinned hub_threshold={hub_threshold} matches "
+                    f"{n_hubs} vertices, over the {hub_cap}-id broadcast "
+                    "budget — hub split disabled (plain shuffle join)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             hub_ids.unpersist()
             hub_threshold = None
         else:
@@ -287,6 +307,7 @@ def pagerank(
         "edges_per_sec": (n_edges * iters_run / elapsed) if elapsed > 0 else float("nan"),
         "hub_threshold": hub_threshold,
         "n_hubs": n_hubs,
+        "hub_reason": hub_reason,
     }
     # with_prev exposes the previous iteration's vector too (id, rank, pr) —
     # the U6 cogroup consumer diffs consecutive snapshots without a join.

@@ -1,3 +1,23 @@
-from scalemine_spark.operators.joins import asof_join, asof_join_merge, salted_join
+from scalemine_spark.operators.joins import (
+    asof,
+    asof_join,
+    asof_join_merge,
+    salted_join,
+)
+from scalemine_spark.operators.similarity import (
+    ann_ivf,
+    ann_lsh,
+    cosine_topk,
+    kmeans_codebook,
+)
 
-__all__ = ["salted_join", "asof_join", "asof_join_merge"]
+__all__ = [
+    "salted_join",
+    "asof",
+    "asof_join",
+    "asof_join_merge",
+    "cosine_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "kmeans_codebook",
+]

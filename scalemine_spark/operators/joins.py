@@ -97,6 +97,55 @@ def asof_join(
     return l.join(best, "__lid", "left").select(*out_cols)
 
 
+def asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    strategy: str = "auto",
+    merge_above: int = 300,
+    info: dict | None = None,
+) -> DataFrame:
+    """J9 front door — as-of join with automatic variant dispatch, so
+    callers get the scale-safe plan without knowing the internals.
+
+    ``strategy='range'`` forces :func:`asof_join` (conditional join +
+    map-side-collapsing partial agg — fastest when no right key holds many
+    snapshots); ``'merge'`` forces :func:`asof_join_merge` (union-sort-
+    window, zero fan-out — immune to key skew); ``'auto'`` (default) picks
+    from the right side's maximum per-key snapshot count, measured with ONE
+    cheap partially-aggregated pass (``groupBy(key).count().agg(max)`` —
+    map-side combine means ~1 scalar per task reaches the driver).
+
+    The ``merge_above`` crossover (default 300 snapshots on the hottest
+    key) comes from the measured A/B (tools/ab_asof.py -> BENCH/
+    ab_asof.json, 10^6 probes/local[8]): at max-per-key 100 the range arm
+    wins (5.7s vs 7.3s), at 1,000 the merge arm wins (2.6s vs 6.1s) and the
+    gap grows ~linearly in the hot key's fan-out (58s vs 2.6s at 10,000) —
+    the geometric midpoint ~316 splits the measured bracket.
+
+    ``info``: optional dict the dispatch decision is written into
+    (``strategy`` chosen, ``max_right_per_key``, ``merge_above``) — pass
+    one when you need the decision logged/asserted.
+    """
+    chosen = strategy
+    max_per_key = None
+    if strategy == "auto":
+        row = right.groupBy(on).count().agg(F.max("count").alias("mx")).collect()[0]
+        max_per_key = int(row["mx"] or 0)
+        chosen = "merge" if max_per_key > merge_above else "range"
+    elif strategy not in ("range", "merge"):
+        raise ValueError(f"asof: unknown strategy {strategy!r}")
+    if info is not None:
+        info.update(
+            strategy=chosen, max_right_per_key=max_per_key, merge_above=merge_above
+        )
+    fn = asof_join_merge if chosen == "merge" else asof_join
+    return fn(left, right, on, left_ts, right_ts, direction)
+
+
 def asof_join_merge(
     left: DataFrame,
     right: DataFrame,

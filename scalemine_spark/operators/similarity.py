@@ -141,13 +141,87 @@ def ann_lsh(
     return _rerank_topk(cands, k)
 
 
+def kmeans_codebook(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    dim: int | None = None,
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """d12 — train an IVF codebook with Lloyd iterations under cosine
+    assignment, entirely as partial-aggregatable DataFrame jobs. Returns a
+    K-row DataFrame (cid BIGINT, cv ARRAY<DOUBLE>) that plugs straight into
+    ``ann_ivf(centroids=...)``. Promoted from tools/ann_recall_sweep.py's
+    private driver-side copy (round-4 verdict #3): IVF recall tracks
+    quantizer quality (trained 0.77 vs firstk 0.385 at equal 6% scan —
+    COVERAGE.md), so production callers need training as a first-class
+    operator, not a bring-your-own array.
+
+    Scale shape per Lloyd iteration (MLlib-style): assignment is the same
+    ONE-pass broadcast-centroid argmax as ann_ivf (``max(struct(sim,-cid))``
+    collapses the K-way fan-out map-side before any shuffle); the centroid
+    update is ``groupBy(cid)`` over ``dim`` codegen'd AVG columns — partial
+    aggregation ships at most K x dim partials per map task, and only the
+    K result rows (the new codebook) ever reach the driver. With
+    ``sample_frac`` the whole loop runs on a seeded sample — at 10^12
+    vectors you train on ~10^5-10^6 rows and assign the full corpus once,
+    inside ann_ivf.
+
+    Determinism (driver-oracle contract, same tricks as d11): init = the
+    first ``k`` corpus vectors BY vec_id (cid = that vec_id); assignment
+    rounds cosines to 6 decimals before the argmax with smaller-cid
+    tie-break; each new centroid coordinate is ROUND(avg, 6) so the next
+    iteration's inputs are decimal-exact on every engine; an empty cluster
+    keeps its previous centroid unchanged. The DuckDB oracle replays the
+    full training loop value-for-value.
+    """
+    if dim is None:
+        dim = len(corpus.select("embedding").first()[0])
+    data = corpus.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    if sample_frac is not None:
+        data = data.sample(fraction=sample_frac, seed=seed)
+    data = data.persist()  # consumed once per Lloyd iteration
+
+    cent_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in corpus.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect()
+    ]
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cent = spark.createDataFrame(cent_rows, "cid long, cv array<double>")
+        csim = F.round(cosine(F.col("v"), F.col("cv")), 6)
+        assigned = (
+            data.crossJoin(F.broadcast(cent))
+            .select("vid", "v", "cid", csim.alias("csim"))
+            .groupBy("vid")
+            .agg(
+                F.max(F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("b"),
+                F.first("v").alias("v"),
+            )
+            .select((-F.col("b.ncid")).alias("cid"), "v")
+        )
+        means = assigned.groupBy("cid").agg(
+            *[
+                F.round(F.avg(F.col("v")[i].cast("double")), 6).alias(f"m{i}")
+                for i in range(dim)
+            ]
+        )
+        # K tiny rows to the driver (the new codebook) — deliberately NOT
+        # re-rounded here: the collected doubles ARE the 6dp-rounded values
+        got = {int(r["cid"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means.collect()}
+        cent_rows = [(cid, got.get(cid, cv)) for cid, cv in cent_rows]
+    data.unpersist()
+    return spark.createDataFrame(cent_rows, "cid long, cv array<double>")
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     n_centroids: int = 16,
     n_probe: int = 4,
-    centroids: "np.ndarray | None" = None,
+    centroids: "np.ndarray | DataFrame | None" = None,
 ) -> DataFrame:
     """(qid, vec_id, cos): approximate top-k via an IVF (inverted-file) index.
 
@@ -161,15 +235,21 @@ def ann_ivf(
     volume is the n_probe probed lists (~``n_probe/K`` of the corpus,
     independent of corpus size) — never all-pairs.
 
-    ``centroids``: optional (K, dim) float array — pass a k-means codebook
-    at production scale (recall tracks quantizer quality; the machinery is
+    ``centroids``: optional trained codebook — either a (K, dim) float
+    array or a ``kmeans_codebook`` result DataFrame (cid, cv) — at
+    production scale (recall tracks quantizer quality; the machinery is
     identical). Default: the first ``n_centroids`` corpus vectors by
     ``vec_id`` — a deterministic codebook the driver oracle replays
     value-for-value in DuckDB. Similarities are rounded to 6 decimals
     BEFORE every argmax/rank (ties then break on id), so the assignment is
     reproducible across engines and partitionings.
     """
-    if centroids is not None:
+    if isinstance(centroids, DataFrame):
+        cent = centroids.select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("cv").cast("array<double>").alias("cv"),
+        )
+    elif centroids is not None:
         import pandas as pd
 
         spark = corpus.sparkSession
@@ -188,9 +268,9 @@ def ann_ivf(
         # genuinely the first K BY vec_id (TakeOrdered — cheap), not an
         # id-value filter: corpora whose ids are not 0-based (sharded /
         # re-keyed tables) would otherwise yield an EMPTY codebook and a
-        # silently empty result. On 0-based tables (the driver fixture)
-        # this selects the identical rows the DuckDB oracle's
-        # `vec_id < K` predicate replays.
+        # silently empty result. The d11 DuckDB oracle replays exactly
+        # this (ORDER BY vec_id LIMIT K), so the replay holds on re-keyed
+        # corpora too, not just 0-based ones.
         cent = corpus.orderBy("vec_id").limit(n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
         )

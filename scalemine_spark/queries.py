@@ -557,6 +557,37 @@ def j9b_asof_merge(spark, sf_dir):
 
 
 @q(
+    "j9c_asof_auto",
+    """SELECT user_id, last_value, last_event FROM (
+  SELECT e.user_id, e.value AS last_value, e.event_id AS last_event,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM events e WHERE e.ts <= TIMESTAMP '2024-01-15 00:00:00') x
+WHERE rn = 1""",
+)
+def j9c_asof_auto(spark, sf_dir):
+    """The asof() front door with strategy='auto' (round-5): one cheap
+    partially-aggregated max-per-key pass on the right side dispatches to
+    the range-agg or merge variant at the measured ~300-snapshot crossover
+    (BENCH/ab_asof.json). Same oracle as j9/j9b — all three entry points
+    are contractually identical; which variant auto picked is recorded in
+    the info dict (asserted in tests/test_round5.py)."""
+    from scalemine_spark.operators.joins import asof
+
+    ev = t(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().withColumn(
+        "cutoff", F.expr("TIMESTAMP_NTZ '2024-01-15 00:00:00'")
+    )
+    right = ev.select("user_id", F.col("ts"), F.col("event_id"), F.col("value"))
+    j = asof(probes, right, on="user_id", left_ts="cutoff", right_ts="ts")
+    return j.filter(F.col("r_ts").isNotNull()).select(
+        "user_id",
+        F.col("r_value").alias("last_value"),
+        F.col("r_event_id").alias("last_event"),
+    )
+
+
+@q(
     "j10_theta_join",
     """SELECT n1.n_name AS a, COUNT(*) AS n
 FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
@@ -1296,7 +1327,8 @@ def d6_ann_lsh(spark, sf_dir):
 @q(
     "d11_ann_ivf",
     """WITH cent AS MATERIALIZED (
-  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16),
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 16),
 ac AS MATERIALIZED (
   SELECT e.vec_id, e.embedding, c.cid,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1335,6 +1367,54 @@ def d11_ann_ivf(spark, sf_dir):
     return ann_ivf(
         emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=16, n_probe=4
     )
+
+
+@q(
+    "d12_kmeans_codebook",
+    """WITH dims AS MATERIALIZED (SELECT CAST(x AS INT) AS pos FROM generate_series(0, 63) t(x)),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+a1 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c0 c) x WHERE rn = 1),
+m1 AS MATERIALIZED (
+  SELECT cid, pos, ROUND(AVG(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS val
+  FROM a1 CROSS JOIN dims GROUP BY cid, pos),
+c1 AS MATERIALIZED (
+  SELECT d.cid, LIST(COALESCE(m.val, d.prev) ORDER BY d.pos) AS cv
+  FROM (SELECT c0.cid, dims.pos, c0.cv[dims.pos + 1] AS prev FROM c0 CROSS JOIN dims) d
+  LEFT JOIN m1 m ON m.cid = d.cid AND m.pos = d.pos
+  GROUP BY d.cid),
+a2 AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN c1 c) x WHERE rn = 1),
+m2 AS MATERIALIZED (
+  SELECT cid, pos, ROUND(AVG(CAST(embedding[pos + 1] AS DOUBLE)), 6) AS val
+  FROM a2 CROSS JOIN dims GROUP BY cid, pos)
+SELECT d.cid, d.pos, COALESCE(m.val, d.prev) AS val
+FROM (SELECT c1.cid, dims.pos, c1.cv[dims.pos + 1] AS prev FROM c1 CROSS JOIN dims) d
+LEFT JOIN m2 m ON m.cid = d.cid AND m.pos = d.pos""",
+)
+def d12_kmeans(spark, sf_dir):
+    """k-means codebook training as a first-class operator (2 Lloyd
+    iterations, K=8, cosine assignment), exploded to (cid, pos, val) so the
+    driver hash covers every trained coordinate. The DuckDB oracle replays
+    the ENTIRE training loop — init-by-vec_id, 6dp-rounded argmax
+    assignment with cid tie-break, 6dp-rounded per-dimension means,
+    empty-cluster carry-over — value-for-value (determinism contract in the
+    operator docstring)."""
+    from scalemine_spark.operators.similarity import kmeans_codebook
+
+    emb = t(spark, sf_dir, "embeddings")
+    cb = kmeans_codebook(emb, k=8, iters=2, dim=64)
+    return cb.select("cid", F.posexplode("cv").alias("pos", "val"))
 
 
 @q(
@@ -1893,6 +1973,41 @@ def t6_stateful(spark, sf_dir):
     return stateful_user_counts(spark, sf_dir)
 
 
+@q(
+    "t7_streaming_edge_extraction",
+    "SELECT CAST(13612 AS BIGINT) AS n_edges, CAST(0 AS BIGINT) AS sym_diff",
+)
+def t7_stream_extract(spark, sf_dir):
+    """T7 — incremental edge extraction (round-5): pages stream in as 4
+    micro-batches, foreachBatch runs the fused Stage-A extraction per batch
+    and upserts into a parquet edge table (append + dedup-on-read). The
+    accumulated table must equal the one-shot batch extraction exactly —
+    same pinned edge count and zero symmetric difference as x2, because the
+    stream path and batch path share the identical extraction kernel."""
+    import os
+    import shutil
+    import tempfile
+
+    from scalemine_spark.streaming import streaming_edge_extraction
+
+    _pages(spark)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ppath = os.path.join(repo, ".cache", "pages_n1000_s42", "pages.parquet")
+    _, expected = _pages(spark)
+    work = tempfile.mkdtemp(prefix="t7_")
+    try:
+        got = streaming_edge_extraction(spark, ppath, work, n_splits=4)
+        # materialize before the work dir is deleted
+        got = got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return got.agg(F.count("*").alias("n_edges")).crossJoin(
+        got.exceptAll(expected)
+        .unionAll(expected.exceptAll(got))
+        .agg(F.count("*").alias("sym_diff"))
+    )
+
+
 # ===========================================================================
 # M — multimodal binary columns (decode stubbed: no image libs in container)
 # ===========================================================================
@@ -1958,42 +2073,38 @@ def m3_frames(spark, sf_dir):
 # redundant-coverage rows (P/W/O/F, already pytest-green) take the tail.
 # ===========================================================================
 
-# Round-4 rotation (VERDICT r3 "Next round" #4): the 34 rows whose green
-# driver row dates from round 2 move INTO the window, plus the rows whose
-# code changed this round (pagerank hub-auto skip + tie guard + state
-# slimming -> g1; CC tail-round coalescing -> g2; extraction streaming guard
-# -> x1-x3) and flagship rows kept under continuous driver verification.
-# Every row rotated OUT has a green ROUND-3 driver row (CORRECTNESS_r03) and
-# an unchanged implementation, preserving the invariant that no query's
-# driver row is more than one round old.
+# Round-5 rotation (VERDICT r4 "Next round" #4): the 35 rows whose green
+# driver row dates from round 3 move INTO the window, plus the rows whose
+# code changed this round (CC tail-round fusion -> g2; pagerank hub_reason
+# field -> g1; d11 oracle now ORDER BY vec_id LIMIT K), the three NEW rows
+# (d12 k-means codebook, t7 streaming edge extraction, j9c asof auto-
+# dispatch), and flagship rows kept under continuous driver verification.
+# Every row rotated OUT has a green ROUND-4 driver row (CORRECTNESS_r04) and
+# an unchanged implementation, preserving the invariant — held four rounds
+# running — that no query's driver row is more than one round old.
 _DRIVER_WINDOW = [
-    # --- round-2-stale rows, rotated in ---
-    "s1_parquet_scan", "s2_pages_source", "s4_lg_compat_source",
-    "s5_edge_table_sink", "s6_streaming_pages_source", "s7_metrics_sink",
-    "t1_stream_ingest", "t2_watermark_late_data", "t3_tumbling_window",
-    "t4_session_window", "t5_stream_dedup", "t6_stateful_counts",
-    "u1_scalar_pandas_udf", "u4_grouped_agg_udaf", "u5_udtf",
-    "u6_cogrouped_map",
-    "x4_vertex_ids", "x5_language_filter",
-    "j1_equi_inner", "j2_broadcast_hash",
-    "a1_hash_agg", "a2_degree_count", "a4_approx_distinct",
-    "a10_degree_histogram",
-    "d1_dedup_exact", "d2_ngram_jaccard", "d4_simhash",
-    "d5_embedding_cosine_topk", "d7_language_id", "d8_quality_score",
-    "d9_fingerprint", "d10_token_count",
-    "m2_image_decode_stub", "m3_frame_sample",
+    # --- round-3-stale rows, rotated in ---
+    "p1_project", "p2_filter", "p3_dedup", "p4_self_loop_removal",
+    "j3_skew_salted_join", "j4_left_outer", "j5_left_semi", "j6_left_anti",
+    "j8_range_join", "j10_theta_join", "j11_cross_join",
+    "a3_distinct_agg", "a5_hash_to_min", "a6_mode_agg", "a7_global_agg",
+    "a9_rollup",
+    "w1_ranking", "w2_lag_lead", "w3_frame_agg", "w4_ntile_percent_rank",
+    "o1_global_sort", "o2_topk", "o3_group_topk", "o4_union",
+    "o5_intersect_except",
+    "f1_string_funcs", "f2_hash_funcs", "f3_datetime_funcs", "f4_math_funcs",
+    "f5_array_funcs", "f6_map_struct_funcs", "f7_json_funcs",
+    "f8_conditional_funcs",
+    "g4b_triangles_per_vertex", "m1_binary_metadata",
     # --- changed this round (re-verify against the driver) ---
-    "g1_pagerank", "g2_connected_components",
-    "x1_text_extraction", "x2_href_extraction", "x3_url_normalization",
+    "g1_pagerank", "g2_connected_components", "d11_ann_ivf",
     # --- new this round ---
-    "d11_ann_ivf",
+    "d12_kmeans_codebook", "t7_streaming_edge_extraction", "j9c_asof_auto",
     # --- flagship rows kept under continuous verification ---
-    # (g4b yields its slot to d11 — its r03 driver row is green and the
-    # triangle kernel it shares with g4 is unchanged)
+    "x1_text_extraction", "x2_href_extraction", "x3_url_normalization",
     "g3_label_propagation", "g4_triangle_count",
-    "g5_mni_support", "j9_asof_join", "j9b_asof_merge",
     "d3_minhash_lsh", "d6_ann_lsh",
-    "u2_grouped_map_csr", "u3_mapinarrow_spmv", "s3_checkpoint_sink",
+    "u2_grouped_map_csr", "s3_checkpoint_sink",
 ]
 
 

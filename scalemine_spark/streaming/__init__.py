@@ -4,6 +4,7 @@ from scalemine_spark.streaming.jobs import (
     stateful_user_counts,
     stream_dedup_count,
     stream_type_counts,
+    streaming_edge_extraction,
     tumbling_window_counts,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "session_windows_stream",
     "stream_dedup_count",
     "stateful_user_counts",
+    "streaming_edge_extraction",
 ]

@@ -135,3 +135,52 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = run_stream_to_memory(out, "update")
     # last update per user == final counter
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def streaming_edge_extraction(
+    spark: SparkSession,
+    pages_path: str,
+    work_dir: str,
+    n_splits: int = 4,
+) -> DataFrame:
+    """T7 — the incremental half of T1's "streaming ingest + edge
+    extraction" (round-5; the ingest half is t1/s6): pages arrive as
+    micro-batches (the fixture is re-laid-out into ``n_splits`` files so
+    the file source delivers multiple real triggers, not one), and each
+    batch runs the SAME Stage-A fused mapInPandas extraction
+    (extract.extract_edge_urls — the stream pass-through contract in
+    sources/pages.py) inside ``foreachBatch``, appending its normalized
+    edges to a parquet edge table. Upsert semantics are merge-on-read:
+    append + dedup on (src_url, dst_url) at read time — the same protocol
+    as the repo's parquet+manifest Iceberg stand-in (checkpoint.py).
+
+    Returns the accumulated edge table as a batch DataFrame. Contract
+    (the t7 oracle): the streamed union over all micro-batches equals the
+    one-shot batch extraction of the same pages — edge-set symmetric
+    difference zero.
+    """
+    import os
+
+    from scalemine_spark.extract import extract_edge_urls
+    from scalemine_spark.sources.pages import read_pages_stream
+
+    src_dir = os.path.join(work_dir, "pages_split")
+    out_dir = os.path.join(work_dir, "edges")
+    ck_dir = os.path.join(work_dir, "ck")
+    # multi-file layout -> maxFilesPerTrigger=1 gives n_splits micro-batches
+    spark.read.parquet(pages_path).repartition(n_splits).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        extract_edge_urls(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        read_pages_stream(spark, src_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).dropDuplicates(["src_url", "dst_url"])

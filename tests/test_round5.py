@@ -1,0 +1,253 @@
+"""Round-5 regression tests: CC tail-round fusion, k-means codebook
+operator (d12), asof auto-dispatch (j9c), streaming edge extraction (t7),
+pagerank hub_reason reporting."""
+
+import warnings
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import edges_df
+from tests.test_round4 import _clustered_emb
+
+
+# ---------------------------------------------------------------------------
+# g2 — CC tail-round fusion
+# ---------------------------------------------------------------------------
+
+
+def _cc_labels(comps):
+    return {r["id"]: r["comp"] for r in comps.collect()}
+
+
+def test_cc_fusion_exact_and_fewer_materializations(spark):
+    """A long chain forces many tail rounds; fusion must (a) keep labels
+    exactly equal to the unfused run and (b) cut the number of
+    materializations (round_seconds entries) roughly in half past round 1."""
+    from scalemine_spark.algorithms import connected_components
+
+    pairs = [(i, i + 1) for i in range(0, 800)] + [(2000 + i, 2000 + i + 2) for i in range(0, 60, 2)]
+    e = edges_df(spark, pairs)
+    c_off, i_off = connected_components(e, fuse_rows=0)
+    c_on, i_on = connected_components(e)
+    assert _cc_labels(c_off) == _cc_labels(c_on)
+    assert i_on["n_fused_pairs"] > 0
+    assert len(i_on["round_seconds"]) < len(i_off["round_seconds"])
+
+
+def test_cc_fusion_checkpoint_resume(spark, tmp_path):
+    """Fused pairs commit at the pair's second round index; a resumed run
+    must converge to identical labels and start from the committed state."""
+    from scalemine_spark.algorithms import connected_components
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    pairs = [(i, i + 1) for i in range(0, 300)]
+    e = edges_df(spark, pairs)
+    ck = CheckpointManager(str(tmp_path), "r5", "cc")
+    comps, info = connected_components(e, checkpointer=ck)
+    ref = _cc_labels(comps)
+    assert info["n_fused_pairs"] > 0
+
+    ck2 = CheckpointManager(str(tmp_path), "r5", "cc")
+    comps2, info2 = connected_components(e, checkpointer=ck2)
+    assert _cc_labels(comps2) == ref
+    # resume fast-forwards: the second run replays fewer rounds than the first
+    assert len(info2["round_seconds"]) <= len(info["round_seconds"])
+
+
+def test_cc_fusion_restores_shuffle_conf(spark):
+    from scalemine_spark.algorithms import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    comps, info = connected_components(
+        edges_df(spark, [(i, i + 1) for i in range(0, 400)])
+    )
+    comps.count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# d12 — k-means codebook operator
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_codebook_deterministic(spark):
+    from scalemine_spark.operators.similarity import kmeans_codebook
+
+    emb, _ = _clustered_emb(spark, n=200, dim=8)
+    a = sorted((r["cid"], tuple(r["cv"])) for r in kmeans_codebook(emb, k=4, iters=2, dim=8).collect())
+    b = sorted(
+        (r["cid"], tuple(r["cv"]))
+        for r in kmeans_codebook(emb.repartition(13), k=4, iters=2, dim=8).collect()
+    )
+    assert a == b and len(a) == 4
+
+
+def test_kmeans_codebook_beats_firstk_recall(spark):
+    """On clustered data a trained codebook must beat the first-K default at
+    the SAME probe budget — the whole point of promoting training to a
+    first-class operator (COVERAGE.md: 0.77 vs 0.385 at 6% scan). The
+    fixture is CLUSTER-SORTED (vec_id order groups clusters), so the
+    first-K codebook degenerates to K noisy copies of one center — the
+    realistic failure mode of an untrained quantizer on sorted/sharded
+    corpora — while training recovers all centers from the same ids."""
+    import pandas as pd
+
+    from scalemine_spark.operators.similarity import ann_ivf, cosine_topk, kmeans_codebook
+
+    rng = np.random.default_rng(11)
+    n, n_clusters, dim = 600, 12, 16
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.arange(n) // (n // n_clusters)  # sorted by cluster
+    pts = centers[assign] + 0.15 * rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [r.astype("float32").tolist() for r in pts]}
+        )
+    )
+    qs = emb.filter(F.col("vec_id") % 50 == 0)  # one query per cluster
+    exact = {(r["qid"], r["vec_id"]) for r in cosine_topk(emb, qs, k=5).collect()}
+
+    def recall(centroids):
+        got = {
+            (r["qid"], r["vec_id"])
+            for r in ann_ivf(
+                emb, qs, k=5, n_centroids=12, n_probe=2, centroids=centroids
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    cb = kmeans_codebook(emb, k=12, iters=5, dim=16)
+    r_trained = recall(cb)
+    r_firstk = recall(None)
+    assert r_trained > r_firstk, (r_trained, r_firstk)
+    assert r_trained >= 0.8, r_trained
+
+
+def test_kmeans_codebook_empty_cluster_carries_over(spark):
+    """k > distinct directions: a centroid that attracts no vectors must
+    keep its previous value (the oracle's COALESCE branch)."""
+    import pandas as pd
+
+    from scalemine_spark.operators.similarity import kmeans_codebook
+
+    # 2 identical directions; k=3 -> at least one empty cluster after assign
+    rows = [[1.0, 0.0, 0.0, 0.0]] * 4 + [[0.0, 1.0, 0.0, 0.0]] * 4
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(8), "embedding": rows})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    cb = {r["cid"]: list(r["cv"]) for r in kmeans_codebook(emb, k=3, iters=2, dim=4).collect()}
+    assert len(cb) == 3
+    # cid 2 duplicates cid 0's direction; smaller-cid tie-break starves it
+    assert cb[2] == [1.0, 0.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# j9c — asof auto-dispatch
+# ---------------------------------------------------------------------------
+
+
+def _asof_fixture(spark, s_hot):
+    right = [(1, t, float(t)) for t in range(10)] + [(2, t, float(t)) for t in range(s_hot)]
+    left = [(1, 5), (1, 100), (2, 3), (2, 10**6), (3, 7)]
+    r = spark.createDataFrame(right, "k long, ts long, v double")
+    l = spark.createDataFrame(left, "k long, ts long")
+    return l, r
+
+
+def test_asof_auto_picks_range_on_uniform_keys(spark):
+    from scalemine_spark.operators.joins import asof, asof_join
+
+    l, r = _asof_fixture(spark, s_hot=10)
+    info = {}
+    got = asof(l, r, on="k", left_ts="ts", right_ts="ts", info=info)
+    assert info["strategy"] == "range" and info["max_right_per_key"] == 10
+    ref = asof_join(l, r, on="k", left_ts="ts", right_ts="ts")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_asof_auto_picks_merge_on_hot_key(spark):
+    from scalemine_spark.operators.joins import asof, asof_join
+
+    l, r = _asof_fixture(spark, s_hot=500)
+    info = {}
+    got = asof(l, r, on="k", left_ts="ts", right_ts="ts", info=info)
+    assert info["strategy"] == "merge" and info["max_right_per_key"] == 500
+    # dispatch must not change semantics
+    ref = asof_join(l, r, on="k", left_ts="ts", right_ts="ts")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_asof_forced_strategies_and_bad_strategy(spark):
+    from scalemine_spark.operators.joins import asof
+
+    l, r = _asof_fixture(spark, s_hot=10)
+    i1, i2 = {}, {}
+    a = asof(l, r, on="k", left_ts="ts", right_ts="ts", strategy="range", info=i1)
+    b = asof(l, r, on="k", left_ts="ts", right_ts="ts", strategy="merge", info=i2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # forced strategies skip the max-per-key pass entirely
+    assert i1["max_right_per_key"] is None and i2["max_right_per_key"] is None
+    with pytest.raises(ValueError):
+        asof(l, r, on="k", left_ts="ts", right_ts="ts", strategy="nope")
+
+
+# ---------------------------------------------------------------------------
+# t7 — streaming edge extraction
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_extraction_equals_batch(spark, pages_small, tmp_path):
+    """The foreachBatch upsert over 3 micro-batches must produce exactly the
+    batch extraction's edge set (stream and batch share the kernel)."""
+    from scalemine_spark.extract import extract_edge_urls
+    from scalemine_spark.streaming import streaming_edge_extraction
+
+    pages, _ = pages_small
+    sub_path = str(tmp_path / "pages_sub")
+    pages.limit(300).write.parquet(sub_path)
+    batch = extract_edge_urls(spark.read.parquet(sub_path))
+    streamed = streaming_edge_extraction(
+        spark, sub_path, str(tmp_path / "work"), n_splits=3
+    )
+    sym = (
+        streamed.exceptAll(batch).unionAll(batch.exceptAll(streamed)).count()
+    )
+    assert sym == 0
+    assert streamed.count() == batch.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# g1 — hub_reason reporting
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_hub_reason_below_floor(spark):
+    from scalemine_spark.algorithms import pagerank
+
+    ranks, info = pagerank(edges_df(spark, [(1, 2), (2, 3), (3, 1)]), fixed_iters=2)
+    ranks.count()
+    assert info["hub_threshold"] is None
+    assert info["hub_reason"] == "below_hub_floor"
+
+
+def test_pagerank_pinned_hub_over_budget_warns(spark):
+    """A pinned threshold matching > 131072 vertices must warn and record
+    hub_reason='broadcast_budget_cap' instead of silently flipping
+    hub_threshold to None (round-4 advisory)."""
+    from scalemine_spark.algorithms import pagerank
+
+    # star bursts: every src has out_deg >= 1 and threshold 1 matches all
+    n = 140_000
+    e = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") + n).alias("dst")
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ranks, info = pagerank(e, fixed_iters=1, hub_threshold=1)
+        ranks.count()
+    assert info["hub_threshold"] is None
+    assert info["hub_reason"] == "broadcast_budget_cap"
+    assert any("broadcast" in str(x.message) for x in w)

@@ -14,7 +14,7 @@ Results match across arms (count + checksum asserted per sweep point).
 Writes BENCH/ab_asof.json.
 
 Usage: python tools/ab_asof.py [--cores 8] [--probes 1000000]
-           [--s-hot 100,1000,10000] [--skip-range-above 2000]
+           [--s-hot 100,1000,10000] [--skip-range-above 20000]
 """
 
 from __future__ import annotations
