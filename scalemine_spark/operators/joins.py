@@ -9,6 +9,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tag_left(left: DataFrame, spill_dir: str | None) -> DataFrame:
+    """Tag each left row with a unique __lid and MATERIALIZE the tagged
+    frame before its plan branches (monotonically_increasing_id is
+    nondeterministic under shuffle-fetch reordering / AQE replans / task
+    retries — the round-3 determinism fix). Default materialization is
+    localCheckpoint (executor-memory-resident: cheap, but at 100x left-side
+    scale it pins the whole tagged frame in executor memory); pass
+    ``spill_dir`` to materialize durably through parquet instead — the
+    spill costs one write+read of the left side and frees executors, the
+    right trade when the probe side itself is huge."""
+    tagged = left.withColumn("__lid", F.monotonically_increasing_id())
+    if spill_dir is None:
+        return tagged.localCheckpoint(eager=True)
+    tagged.write.mode("overwrite").parquet(spill_dir)
+    return left.sparkSession.read.parquet(spill_dir)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -29,7 +46,13 @@ def salted_join(
 
     At 10^12-edge scale the salt must NOT depend on the key alone (that would
     keep the hot key in one reducer): we use a uniform pseudo-random draw
-    from the row's full tuple via xxhash64(*).
+    from the row's full tuple via xxhash64(*). Known limit: fully DUPLICATE
+    rows of a hot key hash identically and share one salt bucket. rand(seed)
+    would spread them but is rejected deliberately — rand's output depends
+    on intra-partition row order, which shuffle-fetch reordering and map-task
+    retries do not preserve, so a retried map task could re-salt rows into
+    different reducers mid-shuffle (lost/duplicated rows at cluster scale).
+    Deduplicate upstream instead (every edge-table producer here does).
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int")
     big_s = big.withColumn("__salt", salt)
@@ -47,6 +70,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """J9 — as-of join: for each left row, the single most recent right row
     with ``right_ts <= left_ts`` (backward; ``>=`` forward) per `on` key.
@@ -67,15 +91,9 @@ def asof_join(
     # explicit dataset aliases: left and right often share lineage (self-join
     # on the same source), which makes bare column refs ambiguous.
     # The per-row tag (__lid) is evaluated in TWO plan branches (range join
-    # + final join-back); monotonically_increasing_id is nondeterministic
-    # under shuffle-fetch reordering / AQE replans / task retries, so the
-    # tagged frame MUST be materialized once (localCheckpoint) before
-    # branching or the two evaluations can disagree at cluster scale.
-    l = (
-        left.withColumn("__lid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-        .alias("__asof_l")
-    )
+    # + final join-back) — _tag_left materializes the tagged frame once
+    # (docstring there has the localCheckpoint-vs-spill_dir trade).
+    l = _tag_left(left, spill_dir).alias("__asof_l")
     r = right.alias("__asof_r")
     lc = lambda c: F.col(f"__asof_l.{c}")  # noqa: E731
     rc = lambda c: F.col(f"__asof_r.{c}")  # noqa: E731
@@ -107,6 +125,7 @@ def asof(
     strategy: str = "auto",
     merge_above: int = 300,
     info: dict | None = None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """J9 front door — as-of join with automatic variant dispatch, so
     callers get the scale-safe plan without knowing the internals.
@@ -129,6 +148,11 @@ def asof(
     ``info``: optional dict the dispatch decision is written into
     (``strategy`` chosen, ``max_right_per_key``, ``merge_above``) — pass
     one when you need the decision logged/asserted.
+
+    ``spill_dir``: forwarded to the chosen variant — materialize the tagged
+    left side durably through parquet instead of executor-memory
+    localCheckpoint (_tag_left docstring has the trade; use it when the
+    probe side itself is huge).
     """
     chosen = strategy
     max_per_key = None
@@ -143,7 +167,7 @@ def asof(
             strategy=chosen, max_right_per_key=max_per_key, merge_above=merge_above
         )
     fn = asof_join_merge if chosen == "merge" else asof_join
-    return fn(left, right, on, left_ts, right_ts, direction)
+    return fn(left, right, on, left_ts, right_ts, direction, spill_dir=spill_dir)
 
 
 def asof_join_merge(
@@ -153,6 +177,7 @@ def asof_join_merge(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """J9, skew path — identical semantics to :func:`asof_join`, zero fan-out.
 
@@ -186,10 +211,7 @@ def asof_join_merge(
         F.lit(None).cast("long").alias("__lid"),
         payload.alias("__rs"),
     )
-    l = (
-        left.withColumn("__lid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    l = _tag_left(left, spill_dir)
     probes = l.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),

@@ -41,11 +41,14 @@ def main() -> None:
     ap.add_argument("--algo", choices=("lsh", "ivf"), default="lsh")
     ap.add_argument("--n-centroids", type=int, default=64)
     ap.add_argument(
-        "--codebook", choices=("firstk", "kmeans"), default="firstk",
+        "--codebook", choices=("firstk", "kmeans", "kmeans-op"), default="firstk",
         help="IVF codebook: 'firstk' = the deterministic oracle default "
              "(arbitrary vectors — a deliberately weak quantizer), 'kmeans' "
-             "= 15 seeded Lloyd iterations on a 20k sample (the production "
-             "path: recall tracks quantizer quality)",
+             "= 15 seeded driver-side numpy Lloyd iterations on a 20k sample "
+             "(kept so round-4 curves stay reproducible), 'kmeans-op' = the "
+             "first-class distributed operator "
+             "(operators.similarity.kmeans_codebook, round 5 — the "
+             "production path: partial-agg Lloyd on a seeded sample)",
     )
     ap.add_argument("--n-vectors", type=int, default=50_000, help="clustered fixture size")
     ap.add_argument("--n-clusters", type=int, default=64)
@@ -108,7 +111,15 @@ def main() -> None:
         from scalemine_spark.operators.similarity import ann_ivf
 
         centroids = None
-        if args.codebook == "kmeans":
+        if args.codebook == "kmeans-op":
+            from scalemine_spark.operators.similarity import kmeans_codebook
+
+            frac = min(1.0, 20_000 / n_corpus)
+            centroids = kmeans_codebook(
+                emb, k=args.n_centroids, iters=15, dim=dim,
+                sample_frac=None if frac >= 1.0 else frac, seed=args.seed,
+            )
+        elif args.codebook == "kmeans":
             import numpy as np
 
             sample = np.array(
