@@ -62,18 +62,60 @@ AQE off, where this is the only mechanism.
 Tail-round FUSION (round 5; VERDICT r4 "what's wrong" #2): coalescing fixed
 the tail's task-count overhead but left its per-round FIXED cost — plan
 analysis + Observation + localCheckpoint/commit + distinct — which at 60M
-edges measured ~19s@local[8] vs ~47s@local[2] of almost pure overhead
-(2.5x of the ideal 4x core scaling). Once the observed pointer count drops
-below ``fuse_rows`` (default 2M — data so small that plan depth is free),
-each trip through the loop runs TWO large/small-star rounds and
-materializes/observes/checkpoints ONLY the second — halving the fixed cost
-per logical round. The intermediate round output is columnar-persisted
+edges measured ~19s@local[8] vs ~47s@local[2] of mostly overhead (2.5x of
+the ideal 4x core scaling). Once the observed pointer count drops below
+``fuse_rows``, each trip through the loop runs TWO large/small-star rounds
+and materializes/observes/checkpoints ONLY the second — halving the fixed
+cost per logical round. The intermediate round output is columnar-persisted
 (consumed three times by the second round's aggregates+probe) and dropped
 after the pair's single action. Convergence detection is unchanged
 (fingerprint before-pair vs after-pair; a converged set is a fixed point of
 both stars, so a pair that straddles convergence costs at most one extra
-— tiny — fused pair). Resume checkpoints land every fused pair, at the
+— cheap — fused pair). Resume checkpoints land every fused pair, at the
 index of the pair's second round, so commit indices stay monotonic.
+
+Driver-side union-find ENDGAME (round 5): fusion (below) turned out to be
+the wrong tool for the 60M-scale tail, so the tail is now ELIMINATED
+rather than amortized. Once a round's Observation reports the pointer set
+below ``endgame_rows`` (default 8M rows = ~128 MB of (long, long) — far
+inside the protocol's 8g driver), the loop stops shuffling: the pointer
+set is collected through Arrow, min-label propagation runs as vectorized
+numpy (edge relaxation with ``np.minimum.at`` + pointer-jumping full path
+compression per pass — each pass is O(E) gathers, passes are O(log
+diameter), and after one or two distributed star rounds the forest is
+already shallow), and the exact final star forest (u -> min id of
+component, the unique fixed point the distributed loop would have reached)
+is parallelized back and committed. This is the standard hybrid endgame of
+scale-aware iterative systems (e.g. Spark's own treeAggregate-style
+driver-side finishes): the collapsed tail is SMALL DATA, and the fixed
+per-round cost of distributed execution (plan + Observation + checkpoint +
+distinct, measured ~19s @ local[8] per tail round at 60M) cannot beat a
+~2-4s single-pass local solve no matter how it is batched. Scaling
+consequence, measured at 60M (BENCH/BASELINE.md): the tail phase — whose
+per-pair 2->8 efficiency was 0.42-0.76, the binding drag on CC's total —
+becomes a parallelism-independent constant, so CC total efficiency tracks
+the well-scaling round-0 exchange phase. The threshold guards cluster
+scale: with V >> endgame_rows (say 10^10 vertices) the endgame never
+fires and the distributed tail runs exactly as before; raise
+``endgame_rows`` with driver memory, set 0 to disable.
+
+``fuse_rows`` default is 2M — deliberately SMALL, from a measured negative
+result. The hypothesis "the amortized fixed cost is size-independent, so
+fuse any post-collapse tail" was tested at 60M edges (V = 6M) and
+REGRESSED 3-5x: with fuse_rows=16M the fused pair ran 270s @ local[8]
+where the two unfused rounds cost ~49s; with fuse_rows=8M (fusing only the
+fully-collapsed ~6M-row tail) the fused pairs still ran 141s and 151s
+(disabling auto-broadcast changed nothing, ruling out a stats-driven join
+flip). The cause is cache pressure: a fused pair holds BOTH rounds'
+intermediates live at once (two large-star caches + the persisted
+mid-round output + the old and new committed states + the edge cache), and
+once that no longer fits comfortably beside the edge cache in executor
+memory the job goes GC/eviction-bound — the same row-cache GC pathology
+measured in round 3 (BENCH round notes), now triggered by fusion itself.
+Below ~2M rows the intermediates are trivially small, and fusion measured
+a real win (cold 2M-edge CC 29.4s -> 21.2s at 32 cores). On a real
+cluster the same rule applies relative to executor heap: fuse only when
+the pair's working set is far below storage memory.
 
 Shuffle codec: CC's round-0 exchange phase is bandwidth-bound, and zstd
 shuffle compression measured **-23% round-0 wall** at 60M/local[8] (commit
@@ -108,6 +150,57 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
         F.bit_xor(F.xxhash64("u", "v")).alias("h"),
     ).collect()[0]
     return int(row["c"] or 0), int(row["h"] or 0)
+
+
+def _unionfind_numpy(u, v):
+    """Vectorized min-label connected components over an edge list of int64
+    arrays. Returns (ids, parent): sorted unique vertex ids and, per index,
+    the index of the component's min id (self for roots). Alternates edge
+    relaxation (``np.minimum.at``) with pointer-jumping full path
+    compression until a global fixed point — O(E) gathers per pass, O(log
+    diameter) passes. Tolerates duplicate edges."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([u, v]))  # sorted -> index order == id order
+    iu = np.searchsorted(ids, u)
+    iv = np.searchsorted(ids, v)
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = parent
+        # edge relaxation, both directions (ids sorted: min index == min id)
+        m = np.minimum(parent[iu], parent[iv])
+        parent = parent.copy()
+        np.minimum.at(parent, iu, m)
+        np.minimum.at(parent, iv, m)
+        # pointer jumping to full path compression
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, before):
+            break
+    return ids, parent
+
+
+def _endgame_star_forest(e: DataFrame) -> tuple[DataFrame, int]:
+    """Driver-side union-find endgame (module docstring): collect the
+    collapsed pointer set through Arrow, solve min-label connected
+    components in vectorized numpy (:func:`_unionfind_numpy`), return the
+    exact final star forest (u -> min id of u's component, one row per
+    non-root vertex) as a distributed DataFrame again. Caller guards the
+    collect with ``endgame_rows``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    pdf = e.toPandas()  # Arrow path when arrow.pyspark.enabled (engine default)
+    u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
+    v = pdf["v"].to_numpy(dtype=np.int64, copy=False)
+    ids, parent = _unionfind_numpy(u, v)
+    mask = parent != np.arange(len(ids), dtype=np.int64)
+    out_pdf = pd.DataFrame({"u": ids[mask], "v": ids[parent[mask]]})
+    return spark.createDataFrame(out_pdf, schema="u long, v long"), len(out_pdf)
 
 
 def _cc_round(e: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -157,12 +250,17 @@ def connected_components(
     checkpointer: CheckpointManager | None = None,
     num_partitions: int | None = None,
     fuse_rows: int = 1 << 21,
+    endgame_rows: int = 1 << 23,
 ) -> tuple[DataFrame, dict]:
     """Returns (components DF (id, comp) with comp = min id of the component,
     info dict). Includes isolated endpoints of self-loops.
 
     fuse_rows: pointer-set size below which two star-rounds run per
-    materialization (tail-round fusion — module docstring); 0 disables."""
+    materialization (tail-round fusion — module docstring); 0 disables.
+    endgame_rows: pointer-set size below which the remaining rounds are
+    replaced by the driver-side union-find endgame (module docstring);
+    checked before fusion; 0 disables. Size it to driver memory: rows *
+    16 bytes must fit comfortably (default 8M rows = ~128 MB)."""
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -233,10 +331,29 @@ def connected_components(
             stacklevel=2,
         )
     n_fused = 0
+    endgame_secs: float | None = None
     try:
         r = start_round
         while r < max_rounds:
             t_r = time.monotonic()
+            # driver-side union-find endgame (module docstring): the pointer
+            # set has been OBSERVED small (fp is not None -> the count comes
+            # from a real round's Observation or the resume fingerprint, and
+            # the set is canonical u > v) — stop shuffling, solve locally,
+            # commit the exact final star forest.
+            if fp is not None and 0 < n_pointer_edges < endgame_rows:
+                e2, n_pointer_edges = _endgame_star_forest(e)
+                if checkpointer is not None:
+                    e2 = checkpointer.commit(
+                        r, e2, {"round_seconds": time.monotonic() - t_r,
+                                "endgame": True}
+                    )
+                e = e2
+                rounds = r + 1
+                converged = True
+                endgame_secs = time.monotonic() - t_r
+                round_secs.append(endgame_secs)
+                break
             spark.conf.set(sp_key, str(p_round))
             # tail-round fusion (module docstring): pointer set observed
             # small -> run two star-rounds, pay ONE materialization
@@ -301,6 +418,7 @@ def connected_components(
         "round_seconds": round_secs,
         "n_pointer_edges": n_pointer_edges,
         "n_fused_pairs": n_fused,
+        "endgame_seconds": endgame_secs,  # None = endgame never fired
     }
     verts.unpersist()
     return comps, info

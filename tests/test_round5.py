@@ -29,8 +29,10 @@ def test_cc_fusion_exact_and_fewer_materializations(spark):
 
     pairs = [(i, i + 1) for i in range(0, 800)] + [(2000 + i, 2000 + i + 2) for i in range(0, 60, 2)]
     e = edges_df(spark, pairs)
-    c_off, i_off = connected_components(e, fuse_rows=0)
-    c_on, i_on = connected_components(e)
+    # endgame_rows=0: fusion is the tail path under test here (the endgame
+    # would otherwise absorb the tail on any graph this small)
+    c_off, i_off = connected_components(e, fuse_rows=0, endgame_rows=0)
+    c_on, i_on = connected_components(e, endgame_rows=0)
     assert _cc_labels(c_off) == _cc_labels(c_on)
     assert i_on["n_fused_pairs"] > 0
     assert len(i_on["round_seconds"]) < len(i_off["round_seconds"])
@@ -45,12 +47,12 @@ def test_cc_fusion_checkpoint_resume(spark, tmp_path):
     pairs = [(i, i + 1) for i in range(0, 300)]
     e = edges_df(spark, pairs)
     ck = CheckpointManager(str(tmp_path), "r5", "cc")
-    comps, info = connected_components(e, checkpointer=ck)
+    comps, info = connected_components(e, checkpointer=ck, endgame_rows=0)
     ref = _cc_labels(comps)
     assert info["n_fused_pairs"] > 0
 
     ck2 = CheckpointManager(str(tmp_path), "r5", "cc")
-    comps2, info2 = connected_components(e, checkpointer=ck2)
+    comps2, info2 = connected_components(e, checkpointer=ck2, endgame_rows=0)
     assert _cc_labels(comps2) == ref
     # resume fast-forwards: the second run replays fewer rounds than the first
     assert len(info2["round_seconds"]) <= len(info["round_seconds"])
@@ -65,6 +67,94 @@ def test_cc_fusion_restores_shuffle_conf(spark):
     )
     comps.count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# g2 — driver-side union-find endgame
+# ---------------------------------------------------------------------------
+
+
+def test_cc_endgame_exact_vs_distributed(spark):
+    """Endgame labels must equal the pure-distributed run exactly, on a
+    graph mixing a long chain (deep tail), a clique, and isolated stars."""
+    from scalemine_spark.algorithms import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 500)]
+        + [(1000 + a, 1000 + b) for a in range(8) for b in range(a)]
+        + [(2000, 2001), (3000, 3001), (3001, 3002)]
+    )
+    e = edges_df(spark, pairs)
+    c_dist, i_dist = connected_components(e, endgame_rows=0)
+    c_end, i_end = connected_components(e)  # default: endgame on
+    assert _cc_labels(c_dist) == _cc_labels(c_end)
+    assert i_end["endgame_seconds"] is not None
+    assert i_dist["endgame_seconds"] is None
+    # the endgame replaces the whole tail: one distributed round + the solve
+    assert len(i_end["round_seconds"]) < len(i_dist["round_seconds"])
+    assert i_end["converged"]
+
+
+def test_cc_endgame_numpy_kernel_exact():
+    """_endgame_star_forest's numpy kernel vs a pure-python union-find on a
+    random pointer set with duplicates (the loop feeds it deduped sets, but
+    the kernel must not care)."""
+    import random
+
+    random.seed(7)
+    n = 400
+    pairs = [(random.randrange(1, n), random.randrange(0, n)) for _ in range(900)]
+    pairs = [(max(a, b), min(a, b)) for a, b in pairs if a != b]
+    pairs += pairs[:100]  # duplicates
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    exp = {}
+    for v in {x for p in pairs for x in p}:
+        r = find(v)
+        if r != v:
+            exp[v] = r
+
+    from scalemine_spark.algorithms.components import _unionfind_numpy
+
+    u = np.array([a for a, _ in pairs], dtype=np.int64)
+    v = np.array([b for _, b in pairs], dtype=np.int64)
+    ids, par = _unionfind_numpy(u, v)
+    mask = par != np.arange(len(ids))
+    got = dict(zip(ids[mask].tolist(), ids[par[mask]].tolist()))
+    # pure-python union-find with min-root merging yields min-label roots
+    assert got == exp
+
+
+def test_cc_endgame_checkpoint_resume(spark, tmp_path):
+    """The endgame commits its star forest; a resumed run must fast-forward
+    (immediate endgame on the resume fingerprint) to identical labels."""
+    from scalemine_spark.algorithms import connected_components
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    pairs = [(i, i + 1) for i in range(0, 200)]
+    e = edges_df(spark, pairs)
+    ck = CheckpointManager(str(tmp_path), "r5e", "cc")
+    comps, info = connected_components(e, checkpointer=ck)
+    ref = _cc_labels(comps)
+    assert info["endgame_seconds"] is not None
+
+    ck2 = CheckpointManager(str(tmp_path), "r5e", "cc")
+    comps2, info2 = connected_components(e, checkpointer=ck2)
+    assert _cc_labels(comps2) == ref
+    assert len(info2["round_seconds"]) <= len(info["round_seconds"])
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +268,24 @@ def test_asof_auto_picks_merge_on_hot_key(spark):
     # dispatch must not change semantics
     ref = asof_join(l, r, on="k", left_ts="ts", right_ts="ts")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_asof_spill_dir_materialization(spark, tmp_path):
+    """spill_dir materializes the tagged left side through parquet (durable,
+    off-executor-memory) — results must be identical to the default
+    localCheckpoint path on both variants."""
+    from scalemine_spark.operators.joins import asof_join, asof_join_merge
+
+    l, r = _asof_fixture(spark, s_hot=20)
+    ref = sorted(map(tuple, asof_join(l, r, on="k", left_ts="ts", right_ts="ts").collect()))
+    a = asof_join(
+        l, r, on="k", left_ts="ts", right_ts="ts", spill_dir=str(tmp_path / "s1")
+    )
+    b = asof_join_merge(
+        l, r, on="k", left_ts="ts", right_ts="ts", spill_dir=str(tmp_path / "s2")
+    )
+    assert sorted(map(tuple, a.collect())) == ref
+    assert sorted(map(tuple, b.collect())) == ref
 
 
 def test_asof_forced_strategies_and_bad_strategy(spark):

@@ -64,6 +64,8 @@ if not {skip_cc}:
         "t_cc": t_cc, "cc_rounds": cinfo["rounds"],
         "cc_round_seconds": [round(x, 3) for x in cinfo["round_seconds"]],
         "cc_eps": n_edges * cinfo["rounds"] / t_cc,
+        "cc_endgame_seconds": (None if cinfo.get("endgame_seconds") is None
+                               else round(cinfo["endgame_seconds"], 3)),
     }})
 print("RESULT " + json.dumps(out))
 spark.stop()
@@ -300,7 +302,10 @@ def render_md(args, levels, runs, s, edges_path) -> str:
             f"- CC total: {s['pair_efficiencies_cc']} -> quietest pair "
             f"**{s['efficiency_cc_quietest_pair']}**",
             f"- CC round-0 (full-E phase) per-pair: {s['cc_round0_pair_efficiencies']}",
-            f"- CC tail rounds (collapsed pointer set) per-pair: {s['cc_tail_pair_efficiencies']}",
+            f"- CC tail (post-round-0; incl. the parallelism-independent "
+            f"driver-side union-find endgame when it fires — "
+            f"cc_endgame_seconds in the raw runs) per-pair: "
+            f"{s['cc_tail_pair_efficiencies']}",
         ]
     lines += [
         "",
