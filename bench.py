@@ -171,7 +171,12 @@ def main() -> None:
     # headline: median-rep total-wall SpMV eps, plus the steady-state variant
     pr_eps = statistics.median(n_edges * 10 / t for t in reps["pagerank10"])
     pr_eps_steady = n_edges / statistics.median(pr_iter_secs)
-    cc_eps = statistics.median(n_edges * cc_rounds / t for t in reps["cc"])
+    # cc throughput is WALL-based (n_edges / t_cc, one full-convergence job),
+    # NOT rounds-multiplied: the union-find endgame (round 5) replaces tail
+    # rounds with a driver-side solve, so `rounds` is an implementation
+    # detail that changed across rounds — a rounds-multiplied eps would
+    # read as a regression exactly when the algorithm got faster.
+    cc_eps = statistics.median(n_edges / t for t in reps["cc"])
 
     out = {
         "metric": "pagerank_spmv_edges_per_sec",

@@ -20,9 +20,11 @@ import multiprocessing as mp
 import time
 
 
-def cpu_worker(stop_t: float, out) -> None:
+def cpu_worker(barrier, seconds: float, out) -> None:
     x = 1
     n = 0
+    barrier.wait()  # workers start their timed window together
+    stop_t = time.monotonic() + seconds
     while time.monotonic() < stop_t:
         for _ in range(10000):
             x = (x * 1103515245 + 12345) & 0x7FFFFFFF
@@ -30,12 +32,18 @@ def cpu_worker(stop_t: float, out) -> None:
     out.append(n)
 
 
-def bw_worker(stop_t: float, out) -> None:
+def bw_worker(barrier, seconds: float, out) -> None:
     import numpy as np
 
+    # allocate + first-touch BEFORE the timed window: fresh page allocation
+    # is pathologically slow in this sandbox's VM (measured 6.6s for a 64 MB
+    # standard_normal — it once consumed the whole budget and reported 0)
     a = np.random.default_rng(0).standard_normal(64 * 1024 * 1024 // 8)  # 64 MB
+    float(a.sum())
     n = 0
     s = 0.0
+    barrier.wait()
+    stop_t = time.monotonic() + seconds
     while time.monotonic() < stop_t:
         s += float(a.sum())  # streaming read, ~64 MB per pass
         n += 1
@@ -45,9 +53,9 @@ def bw_worker(stop_t: float, out) -> None:
 def run_level(kind: str, nproc: int, seconds: float) -> float:
     mgr = mp.Manager()
     out = mgr.list()
-    stop_t = time.monotonic() + seconds
+    barrier = mp.Barrier(nproc)
     fn = cpu_worker if kind == "cpu" else bw_worker
-    ps = [mp.Process(target=fn, args=(stop_t, out)) for _ in range(nproc)]
+    ps = [mp.Process(target=fn, args=(barrier, seconds, out)) for _ in range(nproc)]
     for p in ps:
         p.start()
     for p in ps:

@@ -63,7 +63,10 @@ if not {skip_cc}:
     out.update({{
         "t_cc": t_cc, "cc_rounds": cinfo["rounds"],
         "cc_round_seconds": [round(x, 3) for x in cinfo["round_seconds"]],
-        "cc_eps": n_edges * cinfo["rounds"] / t_cc,
+        # wall-based (not rounds-multiplied): rounds count changed when the
+        # endgame landed; efficiency ratios are unaffected either way since
+        # both levels run identical rounds on the same input
+        "cc_eps": n_edges / t_cc,
         "cc_endgame_seconds": (None if cinfo.get("endgame_seconds") is None
                                else round(cinfo["endgame_seconds"], 3)),
     }})
