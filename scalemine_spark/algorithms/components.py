@@ -99,6 +99,16 @@ scale: with V >> endgame_rows (say 10^10 vertices) the endgame never
 fires and the distributed tail runs exactly as before; raise
 ``endgame_rows`` with driver memory, set 0 to disable.
 
+Driver-arena caveat (measured in this sandbox, scratch.py module
+docstring): the VM restores guest memory lazily at ~200us per
+first-touched page, so the endgame's driver-side numpy over a 6M-row set
+measured 55.7s in a COLD python process vs **1.45s** after
+``scalemine_spark.scratch.prime_driver_arena()`` pre-faults the scratch
+arena once (the python analogue of the JVM's -XX:+AlwaysPreTouch /
+database buffer-pool pre-fault). Long-lived drivers self-warm after the
+first solve; single-shot jobs that will hit the endgame should prime at
+startup (bench.py and tools/scaling_bench.py do).
+
 ``fuse_rows`` default is 2M — deliberately SMALL, from a measured negative
 result. The hypothesis "the amortized fixed cost is size-independent, so
 fuse any post-collapse tail" was tested at 60M edges (V = 6M) and
@@ -189,18 +199,25 @@ def _endgame_star_forest(e: DataFrame) -> tuple[DataFrame, int]:
     components in vectorized numpy (:func:`_unionfind_numpy`), return the
     exact final star forest (u -> min id of u's component, one row per
     non-root vertex) as a distributed DataFrame again. Caller guards the
-    collect with ``endgame_rows``."""
+    collect with ``endgame_rows``.
+
+    Arrow-native BOTH directions — ``toArrow()`` in, a ``pyarrow.Table``
+    into ``createDataFrame`` out. The pandas detour was the dominant cost:
+    at 6M rows ``toPandas()`` measured 9-13s PER CALL (recurring
+    Arrow->pandas block conversion, not page faults) where ``toArrow()``
+    measures 0.32s; the ``to_numpy`` copies below land in the primed glibc
+    arena (scratch.py)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     spark = e.sparkSession
-    pdf = e.toPandas()  # Arrow path when arrow.pyspark.enabled (engine default)
-    u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
-    v = pdf["v"].to_numpy(dtype=np.int64, copy=False)
+    tbl = e.toArrow()
+    u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     ids, parent = _unionfind_numpy(u, v)
     mask = parent != np.arange(len(ids), dtype=np.int64)
-    out_pdf = pd.DataFrame({"u": ids[mask], "v": ids[parent[mask]]})
-    return spark.createDataFrame(out_pdf, schema="u long, v long"), len(out_pdf)
+    out = pa.table({"u": pa.array(ids[mask]), "v": pa.array(ids[parent[mask]])})
+    return spark.createDataFrame(out), out.num_rows
 
 
 def _cc_round(e: DataFrame) -> tuple[DataFrame, DataFrame]:
