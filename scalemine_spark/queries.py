@@ -2008,6 +2008,34 @@ def t7_stream_extract(spark, sf_dir):
     )
 
 
+@q("t8_incremental_components", _cc_oracle())
+def t8_incremental_cc(spark, sf_dir):
+    """T8 — incremental connected components (round-5): the same graph as
+    g2 arrives as 4 edge micro-batches; foreachBatch merges each batch into
+    the persistent labels table by running connected_components over (batch
+    edges UNION previous labels as pointer edges) — per-batch cost tracks
+    the batch, not history (streaming/jobs.py docstring has the exactness
+    argument: a star forest is connectivity- and min-label-preserving). The
+    final labels must equal the one-shot batch CC value-for-value, so the
+    oracle IS g2's exact recursive min-propagation SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from scalemine_spark.streaming import streaming_incremental_components
+
+    work = tempfile.mkdtemp(prefix="t8_")
+    try:
+        epath = os.path.join(work, "edges")
+        graph_edges(spark, sf_dir).write.mode("overwrite").parquet(epath)
+        got = streaming_incremental_components(spark, epath, work, n_splits=4)
+        # materialize before the work dir is deleted
+        got = got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return got
+
+
 # ===========================================================================
 # M — multimodal binary columns (decode stubbed: no image libs in container)
 # ===========================================================================
@@ -2100,11 +2128,15 @@ _DRIVER_WINDOW = [
     "g1_pagerank", "g2_connected_components", "d11_ann_ivf",
     # --- new this round ---
     "d12_kmeans_codebook", "t7_streaming_edge_extraction", "j9c_asof_auto",
+    "t8_incremental_components",
     # --- flagship rows kept under continuous verification ---
+    # (s3_checkpoint_sink rotated out to make room for t8: it is r4-green
+    # with unchanged code, exercised indirectly by every checkpointed
+    # algorithm row and pytest; returns to the window next round)
     "x1_text_extraction", "x2_href_extraction", "x3_url_normalization",
     "g3_label_propagation", "g4_triangle_count",
     "d3_minhash_lsh", "d6_ann_lsh",
-    "u2_grouped_map_csr", "s3_checkpoint_sink",
+    "u2_grouped_map_csr",
 ]
 
 

@@ -5,6 +5,7 @@ from scalemine_spark.streaming.jobs import (
     stream_dedup_count,
     stream_type_counts,
     streaming_edge_extraction,
+    streaming_incremental_components,
     tumbling_window_counts,
 )
 
@@ -16,4 +17,5 @@ __all__ = [
     "stream_dedup_count",
     "stateful_user_counts",
     "streaming_edge_extraction",
+    "streaming_incremental_components",
 ]

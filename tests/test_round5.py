@@ -158,8 +158,32 @@ def test_cc_endgame_checkpoint_resume(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# d12 — k-means codebook operator
+# t8 — incremental connected components over streaming edge batches
 # ---------------------------------------------------------------------------
+
+
+def test_incremental_cc_equals_batch(spark, tmp_path):
+    """Labels maintained across micro-batches must equal one-shot batch CC
+    exactly — including singletons carried as self-loop label rows, and
+    components MERGED by a later batch (edge (150, 900) below joins two
+    components that earlier batches built independently)."""
+    from scalemine_spark.algorithms import connected_components
+    from scalemine_spark.streaming import streaming_incremental_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 200)]          # chain A
+        + [(900 + i, 900 + i + 1) for i in range(50)]  # chain B
+        + [(150, 900)]                                # merges chain A with chain B
+        + [(5000, 5000)]                              # self-loop -> singleton
+    )
+    e = edges_df(spark, pairs)
+    epath = str(tmp_path / "edges")
+    e.write.mode("overwrite").parquet(epath)
+
+    got = streaming_incremental_components(spark, epath, str(tmp_path / "w"), n_splits=4)
+    ref, _ = connected_components(e)
+    assert _cc_labels(got) == _cc_labels(ref)
+    assert 5000 in _cc_labels(got)  # singleton survived the label-carry
 
 
 def test_kmeans_codebook_deterministic(spark):
