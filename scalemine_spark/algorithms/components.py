@@ -165,21 +165,44 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
 def _unionfind_numpy(u, v):
     """Vectorized min-label connected components over an edge list of int64
     arrays. Returns (ids, parent): sorted unique vertex ids and, per index,
-    the index of the component's min id (self for roots). Alternates edge
-    relaxation (``np.minimum.at``) with pointer-jumping full path
-    compression until a global fixed point — O(E) gathers per pass, O(log
-    diameter) passes. Tolerates duplicate edges."""
+    the index of the component's min id (self for roots).
+
+    Each pass: hook (scatter-min of each edge's min endpoint label to both
+    endpoints, ``np.minimum.at``), pointer-jump to full path compression,
+    then CONTRACT — relabel edges to their current roots and drop the
+    (now self-loop) edges inside an already-merged star. Contraction is
+    what makes this O(E) total instead of O(E log V): labels per component
+    at least halve per pass (every surviving label adopts a smaller
+    neighbor label), so the surviving edge list shrinks geometrically and
+    the slow scatter primitive (~150 ns/row) runs over a vanishing tail.
+    The round-5 profile that motivated this: on the 60M-edge protocol
+    graph (one giant component, 6M pointer rows) the un-contracted version
+    re-scanned all 6M edges for all ~21 passes — 113 s inside the endgame;
+    contraction solves the identical input in ~2 s
+    (tools/profile_cc_endgame.py). Tolerates duplicate edges and
+    self-loops; correctness: labels only decrease, never below the
+    component min id, and the min id keeps its own label, so termination
+    (no cross-label edges left) leaves every vertex exactly at its
+    component's min id."""
     import numpy as np
 
-    ids = np.unique(np.concatenate([u, v]))  # sorted -> index order == id order
-    iu = np.searchsorted(ids, u)
-    iv = np.searchsorted(ids, v)
-    parent = np.arange(len(ids), dtype=np.int64)
-    while True:
-        before = parent
-        # edge relaxation, both directions (ids sorted: min index == min id)
+    # one argsort-based pass gives BOTH the sorted unique id table and the
+    # per-row dense indices; the earlier two searchsorted() calls were the
+    # profile's hot spot (binary search = ~23 dependent cache misses per
+    # row, ~10s at 6M rows vs ~2.5s for unique+inverse)
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    # index arrays in int32: the endgame only ever sees < endgame_rows
+    # (default 8M) vertices, far under 2^31, and halving the per-row width
+    # halves the cache footprint of the random gathers (ids themselves stay
+    # int64 — they are arbitrary 64-bit vertex ids, e.g. X4's xxhash-based)
+    idx_dt = np.int32 if len(ids) <= np.iinfo(np.int32).max else np.int64
+    inv = inv.astype(idx_dt, copy=False)
+    iu = inv[: len(u)]
+    iv = inv[len(u):]
+    parent = np.arange(len(ids), dtype=idx_dt)
+    while iu.size:
+        # hook: both directions (ids sorted: min index == min id)
         m = np.minimum(parent[iu], parent[iv])
-        parent = parent.copy()
         np.minimum.at(parent, iu, m)
         np.minimum.at(parent, iv, m)
         # pointer jumping to full path compression
@@ -188,8 +211,12 @@ def _unionfind_numpy(u, v):
             if np.array_equal(pp, parent):
                 break
             parent = pp
-        if np.array_equal(parent, before):
-            break
+        # contract: only edges still crossing two live roots matter
+        iu = parent[iu]
+        iv = parent[iv]
+        keep = iu != iv
+        iu = iu[keep]
+        iv = iv[keep]
     return ids, parent
 
 
@@ -215,7 +242,7 @@ def _endgame_star_forest(e: DataFrame) -> tuple[DataFrame, int]:
     u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     ids, parent = _unionfind_numpy(u, v)
-    mask = parent != np.arange(len(ids), dtype=np.int64)
+    mask = parent != np.arange(len(ids), dtype=parent.dtype)
     out = pa.table({"u": pa.array(ids[mask]), "v": pa.array(ids[parent[mask]])})
     return spark.createDataFrame(out), out.num_rows
 
