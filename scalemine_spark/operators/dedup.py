@@ -142,6 +142,82 @@ def minhash_near_dups(
     )
 
 
+def cosine_neardup(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_bits: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 4242,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(a_id, b_id, cos) — embedding-cosine near-duplicate pairs: the last
+    dedup family next to exact (d1), n-gram Jaccard (d2), MinHash+LSH (d3)
+    and SimHash (d4). Random-hyperplane LSH buckets candidates (pairs only
+    ever meet inside a bucket of one of ``n_tables`` independent tables —
+    never all-pairs), then the exact cosine runs on candidates only and
+    keeps pairs with ROUND(cos, 6) >= threshold.
+
+    Scale shape at 10^12 vectors: the corpus is hashed once per table
+    (n_tables * n_bits JVM-side dot products per row, whole-stage
+    codegen'd — no Python), the self-join shuffles on the signature, and
+    recall is tuned like any LSH scheme: more tables -> geometrically
+    fewer misses, fewer bits -> bigger buckets. ``max_bucket`` is the skew
+    guard: buckets larger than it (degenerate near-constant regions — the
+    web's zero vectors and boilerplate embeddings) are dropped from
+    candidate generation rather than exploding quadratically; their
+    members are trivially groupable by exact hash (d1) instead.
+
+    Oracle parity: hyperplanes are seeded-numpy constants embedded as
+    array literals and every dot-product sign is taken on ROUND(dot, 6),
+    so DuckDB replays signatures, buckets, candidates and the final
+    cosines value-for-value (same trick family as d3/d4's md5 hasher).
+    """
+    from scalemine_spark.operators.similarity import _dot, _hyperplanes, _norm
+
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    cand = None
+    for ti in range(n_tables):
+        planes = _hyperplanes(n_bits, dim, seed + 7919 * ti)
+        sig = F.lit(0).cast("long")
+        for b, plane in enumerate(planes):
+            pl = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(
+                F.round(_dot(F.col("v"), pl), 6) > 0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sigs = base.select("id", sig.alias("sig"))
+        if max_bucket is not None:
+            ok = sigs.groupBy("sig").count().filter(F.col("count") <= max_bucket)
+            sigs = sigs.join(ok.select("sig"), "sig")
+        a = sigs.select(F.col("id").alias("a_id"), "sig")
+        b_ = sigs.select(F.col("id").alias("b_id"), F.col("sig").alias("sig2"))
+        pairs = a.join(
+            b_, (a.sig == b_.sig2) & (a.a_id < b_.b_id)
+        ).select("a_id", "b_id")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["a_id", "b_id"])
+
+    va = base.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(cos >= threshold)
+        .select("a_id", "b_id", cos.alias("cos"))
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",

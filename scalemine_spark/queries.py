@@ -1276,6 +1276,88 @@ def d4_simhash(spark, sf_dir):
     )
 
 
+# --- d13: embedding-cosine near-dup dedup (round 5) -----------------------
+# The fixture's embeddings are i.i.d. unit vectors (max pairwise cosine
+# 0.513 at sf0.01) — no natural near-dups — so the registered query injects
+# them deterministically: vec_id < 250 re-enters as (vec_id + 1_000_000,
+# v + 0.05 per coordinate), giving 250 true near-dup pairs at cosine
+# 0.9166-0.9493 while every other pair in the augmented corpus stays
+# <= 0.5446 (measured; threshold 0.9 separates with a wide margin). Both
+# engines build the SAME augmented corpus, hash it with the SAME seeded
+# hyperplane literals (signs on ROUND(dot, 6)), bucket-join, and exact-
+# cosine-filter — a full value-level replay of the approximate result.
+_D13_BITS = 6
+_D13_TABLES = 4
+_D13_SEED = 4242
+_D13_THRESH = 0.9
+
+
+def _d13_oracle() -> str:
+    from scalemine_spark.operators.similarity import _hyperplanes
+
+    sig_ctes = []
+    for ti in range(_D13_TABLES):
+        planes = _hyperplanes(_D13_BITS, 64, _D13_SEED + 7919 * ti)
+        bits = " + ".join(
+            "(CASE WHEN ROUND(list_dot_product(v, ["
+            + ",".join(repr(float(x)) for x in plane)
+            + "]::DOUBLE[]), 6) > 0 THEN " + str(2**b) + " ELSE 0 END)"
+            for b, plane in enumerate(planes)
+        )
+        sig_ctes.append(
+            f"sig{ti} AS MATERIALIZED (SELECT vec_id, {bits} AS sig FROM allv)"
+        )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM sig{ti} a "
+        f"JOIN sig{ti} b ON a.sig = b.sig AND a.vec_id < b.vec_id"
+        for ti in range(_D13_TABLES)
+    )
+    return (
+        """WITH allv AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.05)
+  FROM embeddings WHERE vec_id < 250),
+"""
+        + ",\n".join(sig_ctes)
+        + ",\ncand AS MATERIALIZED (\n"
+        + cand_union
+        + f""")
+SELECT c.a_id, c.b_id, ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cos
+FROM cand c JOIN allv va ON va.vec_id = c.a_id JOIN allv vb ON vb.vec_id = c.b_id
+WHERE ROUND(list_cosine_similarity(va.v, vb.v), 6) >= {_D13_THRESH}"""
+    )
+
+
+@q("d13_cosine_neardup", _d13_oracle())
+def d13_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the last dedup family next to
+    d1/d2/d3/d4): hyperplane-LSH bucketed candidates across 4 independent
+    tables, exact cosine >= 0.9 on candidates only — never all-pairs
+    (operators/dedup.py cosine_neardup has the 10^12-vector scale notes,
+    incl. the max_bucket skew guard). Expected LSH recall at cos≈0.93 with
+    6 bits x 4 tables is ~0.92, and the oracle replays the identical
+    buckets, so approximate recall never shows up as a diff."""
+    from scalemine_spark.operators.dedup import cosine_neardup
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 250).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.05).alias("embedding"),
+    )
+    return cosine_neardup(
+        base.unionByName(dup),
+        threshold=_D13_THRESH,
+        n_bits=_D13_BITS,
+        n_tables=_D13_TABLES,
+        dim=64,
+        seed=_D13_SEED,
+    )
+
+
 @q(
     "d5_embedding_cosine_topk",
     """WITH q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -2128,12 +2210,13 @@ _DRIVER_WINDOW = [
     "g1_pagerank", "g2_connected_components", "d11_ann_ivf",
     # --- new this round ---
     "d12_kmeans_codebook", "t7_streaming_edge_extraction", "j9c_asof_auto",
-    "t8_incremental_components",
+    "t8_incremental_components", "d13_cosine_neardup",
     # --- flagship rows kept under continuous verification ---
-    # (s3_checkpoint_sink rotated out to make room for t8: it is r4-green
-    # with unchanged code, exercised indirectly by every checkpointed
-    # algorithm row and pytest; returns to the window next round)
-    "x1_text_extraction", "x2_href_extraction", "x3_url_normalization",
+    # (s3_checkpoint_sink and x3_url_normalization rotated out to make room
+    # for t8 + d13: both are r4-green with unchanged code — s3 is exercised
+    # indirectly by every checkpointed algorithm row, x3 by x2's edge-set
+    # byte-parity — and both return to the window next round)
+    "x1_text_extraction", "x2_href_extraction",
     "g3_label_propagation", "g4_triangle_count",
     "d3_minhash_lsh", "d6_ann_lsh",
     "u2_grouped_map_csr",

@@ -186,6 +186,45 @@ def test_incremental_cc_equals_batch(spark, tmp_path):
     assert 5000 in _cc_labels(got)  # singleton survived the label-carry
 
 
+def test_cosine_neardup_recall_and_exactness(spark):
+    """d13 — inject known near-dups (v and v + 0.05 per coordinate) among
+    i.i.d. unit vectors: every reported pair must be a true dup pair (the
+    exact-cosine filter makes false positives impossible at this margin)
+    and LSH recall across 4 tables must clear 0.8 (expected ~0.92)."""
+    from scalemine_spark.operators.dedup import cosine_neardup
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((200, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    dup = base.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + 0.05).alias("embedding"),
+    )
+    got = cosine_neardup(
+        base.unionByName(dup), threshold=0.9, n_bits=6, n_tables=4, dim=64
+    ).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in got}
+    true_pairs = {(i, i + 10_000) for i in range(100)}
+    assert pairs <= true_pairs  # no false positives above the threshold
+    assert len(pairs) >= 80  # LSH recall across 4 tables
+    assert all(r["cos"] >= 0.9 for r in got)
+
+
+def test_cosine_neardup_max_bucket_guard(spark):
+    """A degenerate corpus (one hot direction) would explode quadratically
+    inside a single bucket; max_bucket drops oversized buckets instead."""
+    from scalemine_spark.operators.dedup import cosine_neardup
+
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_neardup(df, threshold=0.5, n_bits=4, n_tables=2, dim=8, max_bucket=10)
+    assert got.count() == 0  # the 50-row bucket was dropped, not joined
+
+
 def test_kmeans_codebook_deterministic(spark):
     from scalemine_spark.operators.similarity import kmeans_codebook
 
