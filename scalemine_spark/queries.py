@@ -1591,6 +1591,65 @@ def d10_tokens(spark, sf_dir):
     )
 
 
+@q(
+    "d14_topk_ngrams",
+    """WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+bg AS MATERIALIZED (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS ngram
+  FROM toks)
+SELECT ngram, COUNT(*) AS n FROM bg GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50""",
+)
+def d14_topk_ngrams(spark, sf_dir):
+    """Corpus n-gram statistics: top-50 word bigrams with counts (the
+    vocabulary/phrase-stats pass every training-data pipeline runs before
+    tokenizer training). Plan at 100 TB: tokenize + bigram-build are narrow
+    per-row array ops (zero Python), the count is a two-level hash agg
+    (map-side partial collapses each executor's repeats before the one
+    shuffle on ngram), and the top-50 is TakeOrdered — only K rows per
+    partition reach the driver, never the full vocabulary. Ties at the
+    K-boundary break on the ngram string (ASCII-only alphabet, so Spark's
+    binary and DuckDB's collated sorts agree)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "ngram")
+        .limit(50)
+    )
+
+
+@q(
+    "d15_stratified_sample",
+    """SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < (CASE WHEN lang = 'en' THEN 10 ELSE 30 END)""",
+)
+def d15_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix curation:
+    downsample the majority language (en -> 10%) and keep 30% of the rest,
+    keyed on a stable hash of doc_id — NOT rand(), so the sample is
+    reproducible across runs/retries/engines (a re-executed task keeps the
+    same rows; DuckDB replays it value-for-value via the md5-60bit trick,
+    operators/dedup.py:22). Plan at 100 TB: a pure filter — no shuffle, no
+    sort, no driver involvement; the sample rate per stratum is a CASE
+    expression, so adding strata costs nothing."""
+    from scalemine_spark.operators.dedup import md5_60
+
+    d = t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(10)).otherwise(F.lit(30))
+    return d.filter(
+        F.pmod(md5_60(F.col("doc_id").cast("string")), F.lit(100)) < rate
+    ).select("doc_id", "lang")
+
+
 # ===========================================================================
 # X — extraction rows (pages is engine-synthesized; not a DuckDB view ->
 # rows-only driver checks; byte-identity is pinned exactly in pytest)
@@ -2211,14 +2270,15 @@ _DRIVER_WINDOW = [
     # --- new this round ---
     "d12_kmeans_codebook", "t7_streaming_edge_extraction", "j9c_asof_auto",
     "t8_incremental_components", "d13_cosine_neardup",
+    "d14_topk_ngrams", "d15_stratified_sample",
     # --- flagship rows kept under continuous verification ---
-    # (s3_checkpoint_sink and x3_url_normalization rotated out to make room
-    # for t8 + d13: both are r4-green with unchanged code — s3 is exercised
-    # indirectly by every checkpointed algorithm row, x3 by x2's edge-set
-    # byte-parity — and both return to the window next round)
+    # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh and
+    # d6_ann_lsh rotated out to make room for the five new rows: all four
+    # are r4-green with unchanged code — s3 is exercised indirectly by
+    # every checkpointed algorithm row, x3 by x2's edge-set byte-parity,
+    # d3/d6 by tests/test_dedup+similarity — and all return next round)
     "x1_text_extraction", "x2_href_extraction",
     "g3_label_propagation", "g4_triangle_count",
-    "d3_minhash_lsh", "d6_ann_lsh",
     "u2_grouped_map_csr",
 ]
 

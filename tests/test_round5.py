@@ -422,3 +422,59 @@ def test_pagerank_pinned_hub_over_budget_warns(spark):
     assert info["hub_threshold"] is None
     assert info["hub_reason"] == "broadcast_budget_cap"
     assert any("broadcast" in str(x.message) for x in w)
+
+
+# ---------------------------------------------------------------------------
+# d14 / d15 — corpus n-gram stats + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_topk_ngrams_counts_and_tiebreak(spark):
+    """Bigram counts are exact; the K-boundary orders by (n DESC, ngram ASC);
+    0/1-token docs contribute nothing (the slice guard, not an error)."""
+    from scalemine_spark.queries import QUERIES
+
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the cat ran", "en"),
+        (3, "one", "en"),       # 1 token -> no bigrams
+        (4, "", "en"),          # 0 tokens -> no bigrams
+        (5, "THE CAT sat", "en"),  # case-folds into row 1's bigrams
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="d14_")
+    _docs_df(spark, rows).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = QUERIES["d14_topk_ngrams"](spark, d).collect()
+    got = [(r["ngram"], r["n"]) for r in out]
+    assert got[0] == ("the cat", 3)
+    # cat ran (1) vs cat sat (2): count breaks first; equal-count ties
+    # order lexicographically
+    assert got[1] == ("cat sat", 2)
+    assert set(got) == {("the cat", 3), ("cat sat", 2), ("cat ran", 1)}
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Same rows on every run (hash-keyed, not rand()); en is sampled at
+    ~10% and the rest at ~30% of their stratum sizes."""
+    from scalemine_spark.queries import QUERIES
+
+    from tests.conftest import SF_DIR as sf_dir
+
+    a = {r["doc_id"] for r in QUERIES["d15_stratified_sample"](spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in QUERIES["d15_stratified_sample"](spark, sf_dir).collect()}
+    assert a == b and a
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r["lang"]: r["n"]
+        for r in QUERIES["d15_stratified_sample"](spark, sf_dir)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.02 < kept["en"] / tot["en"] < 0.20
+    for lang, n in kept.items():
+        if lang != "en":
+            assert 0.15 < n / tot[lang] < 0.45
