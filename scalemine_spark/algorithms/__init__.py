@@ -1,4 +1,5 @@
 from scalemine_spark.algorithms.components import connected_components
+from scalemine_spark.algorithms.hits import hits
 from scalemine_spark.algorithms.labelprop import label_propagation
 from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
@@ -9,4 +10,5 @@ __all__ = [
     "label_propagation",
     "triangle_count",
     "triangles_per_vertex",
+    "hits",
 ]

@@ -111,6 +111,33 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def host_graph(
+    url_edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    keep_intra_host: bool = False,
+) -> DataFrame:
+    """X6 — contract the URL-level link graph to the host graph:
+    (src_host, dst_host, weight = number of URL-level links).
+
+    The standard web-graph reduction (Common-Crawl host-level graph): at
+    10^12 URL edges the host graph is ~10^4x smaller and is what PageRank/
+    HITS run on for domain-level analysis. Plan at scale: host extraction
+    is a narrow JVM-side expression (try_parse_url, no Python — crawl data
+    always contains malformed URLs, and ANSI parse_url throws), the rollup is
+    ONE two-level hash agg — map-side partial collapses each executor's
+    repeated host pairs (heavy repetition: a site links the same hosts
+    over and over) before the single exchange on (src_host, dst_host).
+    Intra-host (navigation) links are dropped by default.
+    """
+    h = lambda c: F.try_parse_url(F.col(c), F.lit("HOST"))  # noqa: E731
+    e = url_edges.select(h(src_col).alias("src_host"), h(dst_col).alias("dst_host"))
+    e = e.filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if not keep_intra_host:
+        e = e.filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(F.count("*").alias("weight"))
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """A10 — degree-distribution histogram over total degree."""
     deg = (

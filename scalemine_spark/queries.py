@@ -268,6 +268,97 @@ def g5_mni(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# G6 — HITS hubs & authorities, fixed iterations, unrolled oracle.
+# The engine computes hub_k from the UN-normalized auth_raw_k (the auth
+# scale cancels in hub's own L1 normalization) — the oracle replays the
+# same raw-sum form, so both sides divide identical raw sums.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 4
+
+
+def _hits_oracle(iters: int = HITS_ITERS) -> str:
+    parts = [GEDGES_CTE, VERTS_CTE,
+             "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM verts)"]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub) AS a "
+            f"FROM gedges e JOIN h{p} h ON e.src=h.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS id, SUM(a.a) AS hr "
+            f"FROM gedges e JOIN a{k} a ON e.dst=a.id GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(hr.hr, 0)/(SELECT SUM(hr) FROM hr{k}) AS hub "
+            f"FROM verts v LEFT JOIN hr{k} hr ON v.id=hr.id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT v.id,
+       ROUND(COALESCE(a.a, 0)/(SELECT SUM(a) FROM a{iters}), 9) AS auth,
+       ROUND(COALESCE(hr.hr, 0)/(SELECT SUM(hr) FROM hr{iters}), 9) AS hub
+FROM verts v
+LEFT JOIN a{iters} a ON v.id=a.id
+LEFT JOIN hr{iters} hr ON v.id=hr.id"""
+    )
+
+
+@q("g6_hits", _hits_oracle())
+def g6_hits(spark, sf_dir):
+    from scalemine_spark.algorithms import hits
+
+    scores, _ = hits(graph_edges(spark, sf_dir), iters=HITS_ITERS)
+    return scores.select(
+        "id", F.round("auth", 9).alias("auth"), F.round("hub", 9).alias("hub")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 — host-graph rollup: contract the URL-level link graph to the host
+# graph (src_host, dst_host, weight). URL edges are derived
+# deterministically from orders keys on BOTH sides; the engine extracts
+# hosts with parse_url (JVM expression), the oracle with a regexp.
+# ---------------------------------------------------------------------------
+
+_HOST_ORACLE = """WITH uedges AS MATERIALIZED (
+  SELECT 'https://host' || CAST(o_custkey % 40 AS VARCHAR) || '.example.com/p/'
+           || CAST(o_orderkey AS VARCHAR) AS src_url,
+         'https://host' || CAST(o_orderkey % 40 AS VARCHAR) || '.example.com/q/'
+           || CAST(o_custkey AS VARCHAR) AS dst_url
+  FROM orders
+),
+hosts AS (
+  SELECT regexp_extract(src_url, '^[a-z]+://([^/]+)', 1) AS src_host,
+         regexp_extract(dst_url, '^[a-z]+://([^/]+)', 1) AS dst_host
+  FROM uedges
+)
+SELECT src_host, dst_host, COUNT(*) AS weight
+FROM hosts WHERE src_host <> dst_host
+GROUP BY src_host, dst_host"""
+
+
+@q("x6_host_graph", _HOST_ORACLE)
+def x6_host_graph(spark, sf_dir):
+    from scalemine_spark.graph import host_graph
+
+    o = t(spark, sf_dir, "orders")
+    uedges = o.select(
+        F.concat(
+            F.lit("https://host"), (F.col("o_custkey") % 40).cast("string"),
+            F.lit(".example.com/p/"), F.col("o_orderkey").cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("https://host"), (F.col("o_orderkey") % 40).cast("string"),
+            F.lit(".example.com/q/"), F.col("o_custkey").cast("string"),
+        ).alias("dst_url"),
+    )
+    return host_graph(uedges)
+
+
 # ===========================================================================
 # S — scans / sources / sinks
 # ===========================================================================
@@ -2271,15 +2362,16 @@ _DRIVER_WINDOW = [
     "d12_kmeans_codebook", "t7_streaming_edge_extraction", "j9c_asof_auto",
     "t8_incremental_components", "d13_cosine_neardup",
     "d14_topk_ngrams", "d15_stratified_sample",
+    "g6_hits", "x6_host_graph",
     # --- flagship rows kept under continuous verification ---
-    # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh and
-    # d6_ann_lsh rotated out to make room for the five new rows: all four
-    # are r4-green with unchanged code — s3 is exercised indirectly by
-    # every checkpointed algorithm row, x3 by x2's edge-set byte-parity,
-    # d3/d6 by tests/test_dedup+similarity — and all return next round)
+    # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
+    # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
+    # make room for the seven new rows: all six are r4-green with unchanged
+    # code — s3 is exercised indirectly by every checkpointed algorithm
+    # row, x3 by x2's edge-set byte-parity, the rest by their pytest rows —
+    # and all return next round)
     "x1_text_extraction", "x2_href_extraction",
-    "g3_label_propagation", "g4_triangle_count",
-    "u2_grouped_map_csr",
+    "g3_label_propagation",
 ]
 
 

@@ -478,3 +478,91 @@ def test_stratified_sample_deterministic_and_rated(spark):
     for lang, n in kept.items():
         if lang != "en":
             assert 0.15 < n / tot[lang] < 0.45
+
+
+# ---------------------------------------------------------------------------
+# g6 HITS + x6 host-graph rollup
+# ---------------------------------------------------------------------------
+
+
+def _hits_numpy(pairs, iters):
+    """Pure-numpy HITS reference: raw-sum half-steps, L1 normalization,
+    matching the engine's formulation exactly."""
+    import numpy as np
+
+    ids = sorted({x for p in pairs for x in p})
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for s, d in pairs:
+        A[ix[s], ix[d]] = 1.0
+    hub = np.ones(n)
+    a_raw = h_raw = None
+    for _ in range(iters):
+        a_raw = A.T @ hub
+        h_raw = A @ a_raw
+        hub = h_raw / h_raw.sum()
+    return ids, a_raw / a_raw.sum(), h_raw / h_raw.sum()
+
+
+HITS_PAIRS = [
+    (1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (5, 3), (5, 4), (6, 6),
+    (7, 3), (2, 7), (8, 1), (1, 8),
+]
+
+
+def test_hits_matches_numpy(spark):
+    import numpy as np
+    from scalemine_spark.algorithms import hits
+
+    from tests.conftest import edges_df
+
+    scores, info = hits(edges_df(spark, HITS_PAIRS), iters=5)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in scores.collect()}
+    ids, auth, hub = _hits_numpy(HITS_PAIRS, iters=5)
+    assert set(got) == set(ids)
+    for v, a, h in zip(ids, auth, hub):
+        assert np.isclose(got[v][0], a, atol=1e-12), (v, got[v][0], a)
+        assert np.isclose(got[v][1], h, atol=1e-12), (v, got[v][1], h)
+    assert info["iters_run"] == 5
+
+
+def test_hits_resume_bitwise(spark, tmp_path):
+    """Delete the last two committed iterations; the resumed run replays
+    exactly 2 iterations and lands on bitwise-identical scores."""
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import hits
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, HITS_PAIRS)
+    ck = CheckpointManager(str(tmp_path), "r", "hits")
+    s1, _ = hits(e, iters=5, checkpointer=ck)
+    ref = sorted((r["id"], r["auth"], r["hub"]) for r in s1.collect())
+    for m in sorted(glob.glob(os.path.join(str(tmp_path), "r", "hits", "_manifests", "*.json"))):
+        if "000003" in m or "000004" in m:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "hits")
+    s2, info = hits(e, iters=5, checkpointer=ck2)
+    assert info["iters_run"] == 2
+    assert sorted((r["id"], r["auth"], r["hub"]) for r in s2.collect()) == ref
+
+
+def test_host_graph_rollup(spark):
+    from scalemine_spark.graph import host_graph
+
+    rows = [
+        ("https://a.com/x", "https://b.com/y"),
+        ("https://a.com/z", "https://b.com/w"),   # same host pair -> weight 2
+        ("https://a.com/p", "https://a.com/q"),   # intra-host -> dropped
+        ("https://c.com/1", "https://a.com/2"),
+        ("not a url", "https://b.com/y"),         # no host -> dropped
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string")
+    got = {(r["src_host"], r["dst_host"]): r["weight"] for r in host_graph(df).collect()}
+    assert got == {("a.com", "b.com"): 2, ("c.com", "a.com"): 1}
+    kept = host_graph(df, keep_intra_host=True).collect()
+    assert {(r["src_host"], r["dst_host"]): r["weight"] for r in kept}[("a.com", "a.com")] == 1
