@@ -11,7 +11,9 @@ Jobs:
     pagerank   --edges <path> --out <path> [--iters N | --tol T] [--run-id R --ckpt DIR]
     cc         --edges <path> --out <path> [--run-id R --ckpt DIR]
     lpa        --edges <path> --out <path> [--iters N] [--run-id R --ckpt DIR]
+    hits       --edges <path> --out <path> [--iters N] [--run-id R --ckpt DIR]
     triangles  --edges <path> --out <path> [--per-vertex]
+    hostgraph  --edges <path> --out <path> [--keep-intra-host]  (url edges -> host graph)
 
 Every algorithm job resumes automatically from the last committed checkpoint
 iteration when --run-id/--ckpt point at an existing run.
@@ -33,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--langs", default=None)
 
-    for name in ("pagerank", "cc", "lpa", "triangles"):
+    for name in ("pagerank", "cc", "lpa", "hits", "triangles", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True)
         p.add_argument("--out", required=True)
@@ -44,9 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--hub-threshold", type=int, default=None)
         if name == "lpa":
             p.add_argument("--iters", type=int, default=10)
+        if name == "hits":
+            p.add_argument("--iters", type=int, default=8)
         if name == "triangles":
             p.add_argument("--per-vertex", action="store_true")
-        if name in ("pagerank", "cc", "lpa"):
+        if name == "hostgraph":
+            p.add_argument("--keep-intra-host", action="store_true")
+        if name in ("pagerank", "cc", "lpa", "hits"):
             p.add_argument("--run-id", default=None)
             p.add_argument("--ckpt", default=None)
 
@@ -109,12 +115,26 @@ def main(argv: list[str] | None = None) -> int:
                 edges, iters=args.iters, checkpointer=_ckpt(args, "lpa")
             )
             labels.write.mode("overwrite").parquet(args.out)
+        elif args.job == "hits":
+            from scalemine_spark.algorithms import hits
+
+            scores, info = hits(
+                edges, iters=args.iters, checkpointer=_ckpt(args, "hits")
+            )
+            scores.write.mode("overwrite").parquet(args.out)
         elif args.job == "triangles":
             from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
 
             out = triangles_per_vertex(edges) if args.per_vertex else triangle_count(edges)
             out.write.mode("overwrite").parquet(args.out)
             info = {"job": "triangles"}
+        elif args.job == "hostgraph":
+            from scalemine_spark.graph import host_graph
+
+            host_graph(edges, keep_intra_host=args.keep_intra_host).write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            info = {"job": "hostgraph"}
 
     print(json.dumps({"ok": True, **{k: v for k, v in info.items() if not isinstance(v, list)}}))
     spark.stop()
