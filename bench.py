@@ -63,6 +63,7 @@ def main() -> None:
 
     from scalemine_spark.algorithms import (
         connected_components,
+        hits,
         label_propagation,
         pagerank,
         triangle_count,
@@ -153,6 +154,11 @@ def main() -> None:
         t0 = time.monotonic()
         n_tri = triangle_count(edges).collect()[0]["triangles"]
         record("triangles", time.monotonic() - t0)
+
+        t0 = time.monotonic()
+        scores, _ = hits(edges, iters=4)
+        scores.agg(F.sum("auth"), F.sum("hub")).collect()
+        record("hits4", time.monotonic() - t0)
 
         # ---- relational headliners on the driver's sf tables ----
         t0 = time.monotonic()

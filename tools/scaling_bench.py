@@ -35,9 +35,16 @@ from pyspark.sql import functions as F
 from scalemine_spark.algorithms import pagerank, connected_components
 
 cores = {cores}
+# -Xms + AlwaysPreTouch: population cost lands at JVM startup, outside the
+# timed window; A/B'd vs base and an mlockall shim (BENCH/ab_pretouch.json —
+# within noise on efficiency, but total==steady suggests it removes sandbox
+# demand-fault jitter; the shim variant was a clear loss).
+_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
 spark = get_spark("scaling", cores=cores, shuffle_partitions=2 * cores,
                   extra_conf={{"spark.sql.adaptive.enabled": {aqe!r},
-                               "spark.io.compression.codec": {codec!r}}})
+                               "spark.io.compression.codec": {codec!r},
+                               "spark.driver.extraJavaOptions":
+                                   f"-Xms{{_mem}} -XX:+AlwaysPreTouch"}})
 spark.sparkContext.setLogLevel("ERROR")
 edges = spark.read.parquet({edges_path!r}).repartition(2 * cores, "src").persist()
 n_edges = edges.count()
