@@ -42,19 +42,44 @@ def hits(
     iters: int = 8,
     checkpointer: CheckpointManager | None = None,
     num_partitions: int | None = None,
+    exact_sums: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Returns (scores DF (id, auth, hub) L1-normalized, info).
 
     Committed state per iteration is the UN-normalized (id, auth_raw,
     hub_raw) with the two L1 sums in the manifest metrics — resume
-    renormalizes from the metrics, so restarts are bitwise-stable.
+    renormalizes from the metrics.
+
+    exact_sums (same contract as pagerank's): accumulate every floating
+    sum in the algorithm — the two grouped half-step sums and the two L1
+    scalar Observations — in exact decimal(38,18), cast back to double.
+    Double addition is not associative and Spark merges shuffled partials
+    in fetch-timing order (measured here: an in-degree-4 key's sum flipped
+    its last ulp between a run and its replay, ~1-in-7 crash-resume
+    loops); decimal addition is associative, so with exact_sums=True a
+    resumed replay is bit-identical BY CONSTRUCTION on any cluster
+    (verified 12/12 loops). Default False: decimal SpMV measured 2.3-3x
+    slower at 16M edges (BENCH/ab_exact_sums.json, same agg shape) and
+    the score contract is allclose 1e-6, which double sums meet; the
+    default replay contract is allclose 1e-12 (ulp-level merge jitter).
     """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    def _s(col):  # sum, optionally in exact (associative) decimal
+        if exact_sums:
+            return F.sum(col.cast("decimal(38,18)")).cast("double")
+        return F.sum(col)
+
+    # sortWithinPartitions pins within-partition row order (a hash exchange
+    # alone leaves it to shuffle-fetch timing), which pins the per-key
+    # float-summation order of every downstream partial agg — same
+    # determinism contract as the PageRank edge cache; without it the
+    # resumed run replays iterations against an identically-VALUED but
+    # differently-ORDERED cache and lands 1 ulp off "bitwise identical".
     e = edges.select("src", "dst")
-    e_by_src = e.repartition(p, "src").persist()
-    e_by_dst = e.repartition(p, "dst").persist()
+    e_by_src = e.repartition(p, "src").sortWithinPartitions("src", "dst").persist()
+    e_by_dst = e.repartition(p, "dst").sortWithinPartitions("dst", "src").persist()
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -89,11 +114,11 @@ def hits(
         a_raw = (
             e_by_src.join(hub.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum("hub").alias("auth_raw"))
+            .agg(_s(F.col("hub")).alias("auth_raw"))
             .withColumnRenamed("dst", "id")
         )
         obs_a = Observation(f"hits_a_{it}")
-        a_mat = a_raw.observe(obs_a, F.sum("auth_raw").alias("s_a")).localCheckpoint(
+        a_mat = a_raw.observe(obs_a, _s(F.col("auth_raw")).alias("s_a")).localCheckpoint(
             eager=True
         )
         s_a = float(obs_a.get["s_a"])
@@ -105,7 +130,7 @@ def hits(
         h_raw = (
             e_by_dst.join(a_mat.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
-            .agg(F.sum("auth_raw").alias("hub_raw"))
+            .agg(_s(F.col("auth_raw")).alias("hub_raw"))
             .withColumnRenamed("src", "id")
         )
         combined = (
@@ -118,7 +143,7 @@ def hits(
             )
         )
         obs_h = Observation(f"hits_h_{it}")
-        combined = combined.observe(obs_h, F.sum("hub_raw").alias("s_h"))
+        combined = combined.observe(obs_h, _s(F.col("hub_raw")).alias("s_h"))
         if checkpointer is not None:
             state = checkpointer.commit(it, combined, {"s_a": s_a})
         else:

@@ -69,6 +69,7 @@ def pagerank(
     hub_floor: int = 1024,
     with_prev: bool = False,
     spmv: str = "codegen",
+    exact_sums: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DF (id, rank), info dict with iters/deltas/edges_per_sec).
 
@@ -94,6 +95,15 @@ def pagerank(
     power-law edges/local[8]: +20% steady-state throughput vs the plain
     shuffle join (BENCH/ab_pr_variants.json). Pass an int to pin the
     threshold, or None to disable the split.
+    exact_sums: accumulate the SpMV contribution sum and the fused stats
+    (l1/dangling/total) in exact decimal(38,18) instead of double. Double
+    addition is not associative and shuffle-merge order is fetch-timing —
+    a replay can land 1 ulp off the original run (measured on HITS, same
+    agg shape); decimal addition is associative, making resumed replays
+    bit-identical BY CONSTRUCTION on any cluster. Default False: the
+    flagship metric is double-sum SpMV throughput and the score contract
+    is allclose 1e-6, which double sums meet; cost of True is measured in
+    BENCH/ab_pr_variants.json.
     """
     spark = edges.sparkSession
     e, verts, p = _prepare(edges, num_partitions)
@@ -194,9 +204,14 @@ def pagerank(
     # one-time scalar pass; thereafter dangling/total come from the fused
     # per-iteration observation (mass is conserved, so the stats of the
     # committed state feed the next iteration's update).
+    def _s(col):  # sum, optionally in exact (associative) decimal
+        if exact_sums:
+            return F.sum(col.cast("decimal(38,18)")).cast("double")
+        return F.sum(col)
+
     scal = state.agg(
-        F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
-        F.sum("rank").alias("total"),
+        _s(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
+        _s(F.col("rank")).alias("total"),
     ).collect()[0]
     dangling = float(scal["dm"] or 0.0)
     total_mass = float(scal["total"] or 0.0)
@@ -216,11 +231,18 @@ def pagerank(
         else:
             contrib_in = e.join(w, "src")
         if spmv == "arrow":
+            if exact_sums:
+                raise ValueError(
+                    "exact_sums requires the codegen SpMV path: the arrow "
+                    "kernel partial-combines in float64 (order-sensitive)"
+                )
             from scalemine_spark.operators.spmv import spmv_partial_arrow
 
             contribs = spmv_partial_arrow(contrib_in.select("dst", "w"))
         else:
-            contribs = contrib_in.groupBy("dst").agg(F.sum("w").alias("contrib"))
+            contribs = contrib_in.groupBy("dst").agg(
+                _s(F.col("w")).alias("contrib")
+            )
 
         # `base` changes every iteration and is shipped as a plain literal:
         # measured (tools A/B, round 2) the literal is ~0.2s/iter FASTER than
@@ -244,9 +266,9 @@ def pagerank(
         obs = Observation(f"pr_stats_{it}")
         new_state = new_state.observe(
             obs,
-            F.sum(F.abs(F.col("rank") - F.col("pr"))).alias("l1"),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
-            F.sum("rank").alias("total"),
+            _s(F.abs(F.col("rank") - F.col("pr"))).alias("l1"),
+            _s(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias("dm"),
+            _s(F.col("rank")).alias("total"),
         )
         if not with_prev:
             # `pr` exists only to feed the L1 delta, which the CollectMetrics

@@ -19,12 +19,19 @@ def _drop_all_manifest_versions(ck: CheckpointManager, it: int) -> None:
 
 def test_resume_mid_algorithm(spark, tmp_path):
     """Kill after iter k (manifests truncated), restart: identical final state
-    bit-for-bit and no recomputation of iters <= k."""
+    bit-for-bit and no recomputation of iters <= k.
+
+    exact_sums=True is what makes 'bit-for-bit' a guarantee rather than a
+    usually-true observation: double sums merge shuffled partials in
+    fetch-timing order (a replay can land 1 ulp off — measured on HITS,
+    same agg shape), decimal accumulation is associative. The default
+    double-sum path has its own resume test below with the tolerance it
+    actually promises (allclose 1e-12)."""
     pairs = FX.g_karate_like()
     e = edges_df(spark, pairs)
 
     ck = CheckpointManager(str(tmp_path), "run1", "pagerank")
-    full, info_full = pagerank(e, fixed_iters=8, checkpointer=ck)
+    full, info_full = pagerank(e, fixed_iters=8, checkpointer=ck, exact_sums=True)
     ref = {r["id"]: r["rank"] for r in full.collect()}
 
     # simulate crash: drop committed state for iters 5..7
@@ -32,11 +39,33 @@ def test_resume_mid_algorithm(spark, tmp_path):
         _drop_all_manifest_versions(ck, k)
     ck2 = CheckpointManager(str(tmp_path), "run1", "pagerank")
     assert ck2.latest() == 4
-    resumed, info_res = pagerank(e, fixed_iters=8, checkpointer=ck2)
+    resumed, info_res = pagerank(e, fixed_iters=8, checkpointer=ck2, exact_sums=True)
     got = {r["id"]: r["rank"] for r in resumed.collect()}
 
     assert info_res["iters_run"] == 3  # only 5,6,7 recomputed
     assert got == ref  # bit-for-bit identical
+
+
+def test_resume_mid_algorithm_default_sums(spark, tmp_path):
+    """Same crash/resume scenario on the default double-sum path: replay
+    must agree to 1e-12 relative (the shuffle-merge-order jitter bound is
+    ~1 ulp/sum; the score CONTRACT is allclose 1e-6)."""
+    pairs = FX.g_karate_like()
+    e = edges_df(spark, pairs)
+
+    ck = CheckpointManager(str(tmp_path), "run1", "pagerank")
+    full, info_full = pagerank(e, fixed_iters=8, checkpointer=ck)
+    ref = {r["id"]: r["rank"] for r in full.collect()}
+
+    for k in (5, 6, 7):
+        _drop_all_manifest_versions(ck, k)
+    ck2 = CheckpointManager(str(tmp_path), "run1", "pagerank")
+    resumed, info_res = pagerank(e, fixed_iters=8, checkpointer=ck2)
+    got = {r["id"]: r["rank"] for r in resumed.collect()}
+
+    assert info_res["iters_run"] == 3
+    assert got.keys() == ref.keys()
+    assert all(abs(got[k] - ref[k]) <= 1e-12 * max(1.0, abs(ref[k])) for k in ref)
 
 
 def test_torn_manifest_is_ignored(spark, tmp_path):

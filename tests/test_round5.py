@@ -529,7 +529,38 @@ def test_hits_matches_numpy(spark):
 
 def test_hits_resume_bitwise(spark, tmp_path):
     """Delete the last two committed iterations; the resumed run replays
-    exactly 2 iterations and lands on bitwise-identical scores."""
+    exactly 2 iterations and lands on bitwise-identical scores.
+
+    exact_sums=True is what makes 'bitwise' a guarantee: double sums merge
+    shuffled partials in fetch-timing order (measured ~1-in-7 replay loops
+    landing 1 ulp off on this graph's in-degree-4 key), decimal
+    accumulation is associative. The default double-sum path is covered by
+    test_hits_resume_default_tolerance below."""
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import hits
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, HITS_PAIRS)
+    ck = CheckpointManager(str(tmp_path), "r", "hits")
+    s1, _ = hits(e, iters=5, checkpointer=ck, exact_sums=True)
+    ref = sorted((r["id"], r["auth"], r["hub"]) for r in s1.collect())
+    for m in sorted(glob.glob(os.path.join(str(tmp_path), "r", "hits", "_manifests", "*.json"))):
+        if "000003" in m or "000004" in m:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "hits")
+    s2, info = hits(e, iters=5, checkpointer=ck2, exact_sums=True)
+    assert info["iters_run"] == 2
+    assert sorted((r["id"], r["auth"], r["hub"]) for r in s2.collect()) == ref
+
+
+def test_hits_resume_default_tolerance(spark, tmp_path):
+    """Same crash/resume scenario on the default double-sum path: the
+    replay contract there is allclose 1e-12 (ulp-level shuffle-merge
+    jitter), not bit-identity."""
     import glob
     import os
 
@@ -541,14 +572,18 @@ def test_hits_resume_bitwise(spark, tmp_path):
     e = edges_df(spark, HITS_PAIRS)
     ck = CheckpointManager(str(tmp_path), "r", "hits")
     s1, _ = hits(e, iters=5, checkpointer=ck)
-    ref = sorted((r["id"], r["auth"], r["hub"]) for r in s1.collect())
+    ref = {r["id"]: (r["auth"], r["hub"]) for r in s1.collect()}
     for m in sorted(glob.glob(os.path.join(str(tmp_path), "r", "hits", "_manifests", "*.json"))):
         if "000003" in m or "000004" in m:
             os.remove(m)
     ck2 = CheckpointManager(str(tmp_path), "r", "hits")
     s2, info = hits(e, iters=5, checkpointer=ck2)
     assert info["iters_run"] == 2
-    assert sorted((r["id"], r["auth"], r["hub"]) for r in s2.collect()) == ref
+    got = {r["id"]: (r["auth"], r["hub"]) for r in s2.collect()}
+    assert got.keys() == ref.keys()
+    for k in ref:
+        for i in (0, 1):
+            assert abs(got[k][i] - ref[k][i]) <= 1e-12 * max(1.0, abs(ref[k][i]))
 
 
 def test_host_graph_rollup(spark):
