@@ -1,14 +1,18 @@
+from scalemine_spark.algorithms.bfs import bfs_hops
 from scalemine_spark.algorithms.components import connected_components
 from scalemine_spark.algorithms.hits import hits
 from scalemine_spark.algorithms.labelprop import label_propagation
 from scalemine_spark.algorithms.pagerank import pagerank
+from scalemine_spark.algorithms.ppr import personalized_pagerank
 from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
     "pagerank",
+    "personalized_pagerank",
     "connected_components",
     "label_propagation",
     "triangle_count",
     "triangles_per_vertex",
     "hits",
+    "bfs_hops",
 ]

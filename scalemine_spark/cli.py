@@ -12,6 +12,8 @@ Jobs:
     cc         --edges <path> --out <path> [--run-id R --ckpt DIR]
     lpa        --edges <path> --out <path> [--iters N] [--run-id R --ckpt DIR]
     hits       --edges <path> --out <path> [--iters N] [--run-id R --ckpt DIR]
+    bfs        --edges <path> --out <path> --sources 1,2,3 [--max-hops N] [--run-id R --ckpt DIR]
+    ppr        --edges <path> --out <path> --sources 1,2,3 [--iters N | --tol T] [--run-id R --ckpt DIR]
     triangles  --edges <path> --out <path> [--per-vertex]
     hostgraph  --edges <path> --out <path> [--keep-intra-host]  (url edges -> host graph)
 
@@ -35,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--langs", default=None)
 
-    for name in ("pagerank", "cc", "lpa", "hits", "triangles", "hostgraph"):
+    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "triangles", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True)
         p.add_argument("--out", required=True)
@@ -48,11 +50,19 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--iters", type=int, default=10)
         if name == "hits":
             p.add_argument("--iters", type=int, default=8)
+        if name == "bfs":
+            p.add_argument("--sources", required=True, help="comma-separated seed ids")
+            p.add_argument("--max-hops", type=int, default=64)
+        if name == "ppr":
+            p.add_argument("--sources", required=True, help="comma-separated seed ids")
+            p.add_argument("--iters", type=int, default=None)
+            p.add_argument("--tol", type=float, default=1e-8)
+            p.add_argument("--damping", type=float, default=0.85)
         if name == "triangles":
             p.add_argument("--per-vertex", action="store_true")
         if name == "hostgraph":
             p.add_argument("--keep-intra-host", action="store_true")
-        if name in ("pagerank", "cc", "lpa", "hits"):
+        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr"):
             p.add_argument("--run-id", default=None)
             p.add_argument("--ckpt", default=None)
 
@@ -122,6 +132,30 @@ def main(argv: list[str] | None = None) -> int:
                 edges, iters=args.iters, checkpointer=_ckpt(args, "hits")
             )
             scores.write.mode("overwrite").parquet(args.out)
+        elif args.job == "bfs":
+            from scalemine_spark.algorithms import bfs_hops
+
+            dist, info = bfs_hops(
+                edges,
+                [int(s) for s in args.sources.split(",")],
+                max_hops=args.max_hops,
+                checkpointer=_ckpt(args, "bfs"),
+            )
+            dist.write.mode("overwrite").parquet(args.out)
+            info.pop("frontier_sizes", None)
+        elif args.job == "ppr":
+            from scalemine_spark.algorithms import personalized_pagerank
+
+            ranks, info = personalized_pagerank(
+                edges,
+                [int(s) for s in args.sources.split(",")],
+                d=args.damping,
+                tol=args.tol,
+                fixed_iters=args.iters,
+                checkpointer=_ckpt(args, "ppr"),
+            )
+            ranks.write.mode("overwrite").parquet(args.out)
+            info.pop("deltas", None)
         elif args.job == "triangles":
             from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
 

@@ -318,6 +318,101 @@ def g6_hits(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G7 — multi-source BFS hop distance, bounded at BFS_HOPS so the unrolled
+# min-propagation oracle is exact (gedges' layered shape has diameter ~3
+# from the seed layer; 6 leaves headroom). Pure set ops + first-reach
+# assignment — exactly deterministic, no float accumulation.
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 6
+BFS_SOURCES = [0, 1, 2, 3]
+
+
+def _bfs_oracle(hops: int = BFS_HOPS) -> str:
+    src_list = ", ".join(str(s) for s in BFS_SOURCES)
+    parts = [
+        GEDGES_CTE,
+        VERTS_CTE,
+        f"b0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts WHERE id IN ({src_list}))",
+    ]
+    for k in range(1, hops + 1):
+        p = k - 1
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM b{p} UNION ALL "
+            f"SELECT e.dst AS id, b.dist + 1 AS dist FROM gedges e "
+            f"JOIN b{p} b ON e.src = b.id) u GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM b{hops}"
+    )
+
+
+@q("g7_bfs_hops", _bfs_oracle())
+def g7_bfs(spark, sf_dir):
+    from scalemine_spark.algorithms import bfs_hops
+
+    dist, _ = bfs_hops(graph_edges(spark, sf_dir), BFS_SOURCES, max_hops=BFS_HOPS)
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# G8 — personalized PageRank: restart AND dangling mass return to the seed
+# set; unreachable vertices stay exactly 0. Oracle unrolls the fixed
+# iterations like g1's, with the teleport vector restricted to the seeds.
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 5
+
+
+def _ppr_oracle(iters: int = PPR_ITERS, d: float = PR_D) -> str:
+    src_list = ", ".join(str(s) for s in BFS_SOURCES)
+    parts = [
+        GEDGES_CTE,
+        VERTS_CTE,
+        f"sd AS MATERIALIZED (SELECT id FROM verts WHERE id IN ({src_list}))",
+        "ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM sd)",
+        "outd AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS od FROM gedges GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id IN (SELECT id FROM sd) "
+        "THEN 1.0/(SELECT c FROM ns) ELSE 0.0 END AS rank FROM verts v)",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"d{p} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank),0) AS dm FROM r{p} r "
+            f"LEFT JOIN outd o ON r.id=o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(r.rank/o.od) AS contrib FROM gedges e "
+            f"JOIN r{p} r ON e.src=r.id JOIN outd o ON e.src=o.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.id, "
+            f"(CASE WHEN v.id IN (SELECT id FROM sd) "
+            f"THEN ((1-{d!r}) + {d!r}*(SELECT dm FROM d{p}))/(SELECT c FROM ns) "
+            f"ELSE 0.0 END) + {d!r}*COALESCE(c.contrib, 0) AS rank "
+            f"FROM verts v LEFT JOIN c{k} c ON v.id=c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@q("g8_personalized_pagerank", _ppr_oracle())
+def g8_ppr(spark, sf_dir):
+    from scalemine_spark.algorithms import personalized_pagerank
+
+    ranks, _ = personalized_pagerank(
+        graph_edges(spark, sf_dir), BFS_SOURCES, d=PR_D, fixed_iters=PPR_ITERS
+    )
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts
@@ -2363,15 +2458,16 @@ _DRIVER_WINDOW = [
     "t8_incremental_components", "d13_cosine_neardup",
     "d14_topk_ngrams", "d15_stratified_sample",
     "g6_hits", "x6_host_graph",
-    # --- flagship rows kept under continuous verification ---
+    "g7_bfs_hops", "g8_personalized_pagerank",
+    # --- flagship row kept under continuous verification ---
     # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
     # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
-    # make room for the seven new rows: all six are r4-green with unchanged
+    # make room for the seven earlier new rows, and x2_href_extraction +
+    # g3_label_propagation for g7/g8: all are r4-green with unchanged
     # code — s3 is exercised indirectly by every checkpointed algorithm
-    # row, x3 by x2's edge-set byte-parity, the rest by their pytest rows —
-    # and all return next round)
-    "x1_text_extraction", "x2_href_extraction",
-    "g3_label_propagation",
+    # row, x3+x2 by t7's stream-equals-batch edge-set oracle (in-window),
+    # the rest by their pytest rows — and all return next round)
+    "x1_text_extraction",
 ]
 
 

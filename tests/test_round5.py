@@ -601,3 +601,139 @@ def test_host_graph_rollup(spark):
     assert got == {("a.com", "b.com"): 2, ("c.com", "a.com"): 1}
     kept = host_graph(df, keep_intra_host=True).collect()
     assert {(r["src_host"], r["dst_host"]): r["weight"] for r in kept}[("a.com", "a.com")] == 1
+
+
+# ---------------------------------------------------------------------------
+# G7 BFS hop distance / G8 personalized PageRank (round 5b)
+# ---------------------------------------------------------------------------
+
+BFS_PAIRS = [(1, 2), (2, 3), (3, 4), (1, 5), (6, 7), (7, 6), (8, 1)]
+
+
+def test_bfs_hops_matches_reference(spark):
+    from scalemine_spark.algorithms import bfs_hops
+
+    from tests.conftest import edges_df
+
+    dist, info = bfs_hops(edges_df(spark, BFS_PAIRS), [1])
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    # 1 -> {2,5} -> 3 -> 4; 6,7 unreachable; 8 is a source of 1, not reached
+    assert got == {1: 0, 2: 1, 5: 1, 3: 2, 4: 3}
+    assert info["frontier_sizes"][-1] == 0  # converged, not hop-capped
+
+
+def test_bfs_multi_source_and_cap(spark):
+    from scalemine_spark.algorithms import bfs_hops
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, BFS_PAIRS)
+    # two sources: 6's component now reachable; min over sources wins
+    dist, _ = bfs_hops(e, [1, 6])
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    assert got[6] == 0 and got[7] == 1 and got[2] == 1
+    # hop cap truncates the frontier expansion
+    dist2, info2 = bfs_hops(e, [1], max_hops=2)
+    got2 = {r["id"]: r["dist"] for r in dist2.collect()}
+    assert 4 not in got2 and got2[3] == 2
+    assert info2["hops"] == 2
+
+
+def test_bfs_resume(spark, tmp_path):
+    """Delete the last two committed hops; the resumed run replays exactly
+    them and lands on an identical dist table (set ops — exactly
+    deterministic, no exact_sums needed)."""
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import bfs_hops
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, BFS_PAIRS)
+    ck = CheckpointManager(str(tmp_path), "r", "bfs")
+    d1, info1 = bfs_hops(e, [1], checkpointer=ck)
+    ref = sorted((r["id"], r["dist"]) for r in d1.collect())
+    last = ck.latest()
+    for m in glob.glob(os.path.join(str(tmp_path), "r", "bfs", "_manifests", "*.json")):
+        it = int(os.path.basename(m).split(".")[0])
+        if it >= last - 1:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "bfs")
+    d2, info2 = bfs_hops(e, [1], checkpointer=ck2)
+    assert sorted((r["id"], r["dist"]) for r in d2.collect()) == ref
+
+
+def test_ppr_matches_numpy(spark):
+    import numpy as np
+
+    from scalemine_spark.algorithms import personalized_pagerank
+
+    from tests.conftest import edges_df
+
+    pairs = BFS_PAIRS
+    ranks, info = personalized_pagerank(edges_df(spark, pairs), [1], fixed_iters=20)
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+
+    ids = sorted({u for p_ in pairs for u in p_})
+    idx = {v: i for i, v in enumerate(ids)}
+    d = 0.85
+    out = {v: 0 for v in ids}
+    for s, t_ in pairs:
+        out[s] += 1
+    tele = np.zeros(len(ids))
+    tele[idx[1]] = 1.0
+    r = tele.copy()
+    for _ in range(20):
+        dm = sum(r[idx[v]] for v in ids if out[v] == 0)
+        nr = np.zeros(len(ids))
+        for s, t_ in pairs:
+            nr[idx[t_]] += d * r[idx[s]] / out[s]
+        nr += ((1 - d) + d * dm) * tele
+        r = nr
+    assert all(abs(got[v] - r[idx[v]]) < 1e-9 for v in ids)
+    # mass never leaks to the unreachable component
+    assert got[6] == 0.0 and got[7] == 0.0 and got[8] == 0.0
+    assert info["n_seeds"] == 1
+
+
+def test_ppr_resume_bitwise(spark, tmp_path):
+    """exact_sums=True crash/resume: bit-identical, same contract as G1."""
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import personalized_pagerank
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, BFS_PAIRS)
+    ck = CheckpointManager(str(tmp_path), "r", "ppr")
+    r1, _ = personalized_pagerank(
+        e, [1, 6], fixed_iters=6, checkpointer=ck, exact_sums=True
+    )
+    ref = sorted((r["id"], r["rank"]) for r in r1.collect())
+    for m in glob.glob(os.path.join(str(tmp_path), "r", "ppr", "_manifests", "*.json")):
+        if "000004" in m or "000005" in m:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "ppr")
+    r2, info = personalized_pagerank(
+        e, [1, 6], fixed_iters=6, checkpointer=ck2, exact_sums=True
+    )
+    assert info["iters_run"] == 2
+    assert sorted((r["id"], r["rank"]) for r in r2.collect()) == ref
+
+
+def test_ppr_seed_validation(spark):
+    import pytest as _pytest
+
+    from scalemine_spark.algorithms import personalized_pagerank
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, BFS_PAIRS)
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, [], fixed_iters=2)
+    with _pytest.raises(ValueError):
+        personalized_pagerank(e, [999], fixed_iters=2)  # seed not in graph
