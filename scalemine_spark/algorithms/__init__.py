@@ -1,6 +1,7 @@
 from scalemine_spark.algorithms.bfs import bfs_hops
 from scalemine_spark.algorithms.components import connected_components
 from scalemine_spark.algorithms.hits import hits
+from scalemine_spark.algorithms.kcore import kcore
 from scalemine_spark.algorithms.labelprop import label_propagation
 from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.ppr import personalized_pagerank
@@ -15,4 +16,5 @@ __all__ = [
     "triangles_per_vertex",
     "hits",
     "bfs_hops",
+    "kcore",
 ]

@@ -14,6 +14,7 @@ Jobs:
     hits       --edges <path> --out <path> [--iters N] [--run-id R --ckpt DIR]
     bfs        --edges <path> --out <path> --sources 1,2,3 [--max-hops N] [--run-id R --ckpt DIR]
     ppr        --edges <path> --out <path> --sources 1,2,3 [--iters N | --tol T] [--run-id R --ckpt DIR]
+    kcore      --edges <path> --out <path> --k N [--max-peels N] [--run-id R --ckpt DIR]
     triangles  --edges <path> --out <path> [--per-vertex]
     hostgraph  --edges <path> --out <path> [--keep-intra-host]  (url edges -> host graph)
 
@@ -37,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--langs", default=None)
 
-    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "triangles", "hostgraph"):
+    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "triangles", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True)
         p.add_argument("--out", required=True)
@@ -58,11 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--iters", type=int, default=None)
             p.add_argument("--tol", type=float, default=1e-8)
             p.add_argument("--damping", type=float, default=0.85)
+        if name == "kcore":
+            p.add_argument("--k", type=int, required=True)
+            p.add_argument("--max-peels", type=int, default=64)
         if name == "triangles":
             p.add_argument("--per-vertex", action="store_true")
         if name == "hostgraph":
             p.add_argument("--keep-intra-host", action="store_true")
-        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr"):
+        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore"):
             p.add_argument("--run-id", default=None)
             p.add_argument("--ckpt", default=None)
 
@@ -156,6 +160,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             ranks.write.mode("overwrite").parquet(args.out)
             info.pop("deltas", None)
+        elif args.job == "kcore":
+            from scalemine_spark.algorithms import kcore
+
+            core, info = kcore(
+                edges,
+                k=args.k,
+                max_peels=args.max_peels,
+                checkpointer=_ckpt(args, "kcore"),
+            )
+            core.write.mode("overwrite").parquet(args.out)
+            info.pop("alive_sizes", None)
         elif args.job == "triangles":
             from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
 

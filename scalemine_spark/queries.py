@@ -413,6 +413,53 @@ def g8_ppr(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G9 — k-core decomposition, fixed peel rounds so the unrolled SQL oracle
+# agrees exactly whether or not the peeling has converged (integer
+# counting + set membership — exactly deterministic).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_PEELS = 6
+
+_KCORE_UND_CTE = """kund AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM gedges
+  WHERE src <> dst
+)"""
+
+
+def _kcore_oracle(k: int = KCORE_K, peels: int = KCORE_PEELS) -> str:
+    parts = [GEDGES_CTE, _KCORE_UND_CTE]
+    prev = None
+    for i in range(1, peels + 1):
+        if prev is None:
+            esrc = "kund e"
+        else:
+            esrc = (
+                f"kund e JOIN {prev} x ON e.a = x.id JOIN {prev} y ON e.b = y.id"
+            )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT id, COUNT(*) AS core_deg FROM ("
+            f"SELECT e.a AS id FROM {esrc} UNION ALL "
+            f"SELECT e.b AS id FROM {esrc}) u GROUP BY id "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, core_deg FROM s{peels}"
+    )
+
+
+@q("g9_kcore", _kcore_oracle())
+def g9_kcore(spark, sf_dir):
+    from scalemine_spark.algorithms import kcore
+
+    core, _ = kcore(graph_edges(spark, sf_dir), k=KCORE_K, max_peels=KCORE_PEELS)
+    return core
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts
@@ -2458,16 +2505,16 @@ _DRIVER_WINDOW = [
     "t8_incremental_components", "d13_cosine_neardup",
     "d14_topk_ngrams", "d15_stratified_sample",
     "g6_hits", "x6_host_graph",
-    "g7_bfs_hops", "g8_personalized_pagerank",
-    # --- flagship row kept under continuous verification ---
+    "g7_bfs_hops", "g8_personalized_pagerank", "g9_kcore",
     # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
     # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
-    # make room for the seven earlier new rows, and x2_href_extraction +
-    # g3_label_propagation for g7/g8: all are r4-green with unchanged
-    # code — s3 is exercised indirectly by every checkpointed algorithm
-    # row, x3+x2 by t7's stream-equals-batch edge-set oracle (in-window),
-    # the rest by their pytest rows — and all return next round)
-    "x1_text_extraction",
+    # make room for the seven earlier new rows; x2_href_extraction,
+    # g3_label_propagation and x1_text_extraction for the three new graph
+    # algorithms g7/g8/g9. All rotated-out rows are r4-green with
+    # unchanged code — s3 is exercised indirectly by every checkpointed
+    # algorithm row, x1/x2/x3 by t7's stream-equals-batch edge-set oracle
+    # (in-window, which runs the same Stage-A extraction), the rest by
+    # their pytest rows — and all return next round.
 ]
 
 

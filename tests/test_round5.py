@@ -737,3 +737,69 @@ def test_ppr_seed_validation(spark):
         personalized_pagerank(e, [], fixed_iters=2)
     with _pytest.raises(ValueError):
         personalized_pagerank(e, [999], fixed_iters=2)  # seed not in graph
+
+
+# ---------------------------------------------------------------------------
+# G9 k-core decomposition (round 5b)
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_semantics(spark):
+    from scalemine_spark.algorithms import kcore
+
+    from tests.conftest import edges_df
+
+    clique = [(a, b) for a in range(5) for b in range(a)]       # K5 = 4-core
+    chain = [(10, 11), (11, 12), (12, 13)]                       # 1-core
+    tri = [(20, 21), (21, 22), (20, 22), (0, 20)]                # triangle = 2-core
+    e = edges_df(spark, clique + chain + tri)
+
+    core3, i3 = kcore(e, 3)
+    got3 = {r["id"]: r["core_deg"] for r in core3.collect()}
+    assert got3 == {v: 4 for v in range(5)}        # K5 only; 20 peels out
+    assert i3["converged"]
+
+    core2, _ = kcore(e, 2)
+    assert {r["id"] for r in core2.collect()} == {0, 1, 2, 3, 4, 20, 21, 22}
+
+    core9, i9 = kcore(e, 9)
+    assert core9.count() == 0 and i9["converged"]
+
+
+def test_kcore_fixed_peel_contract(spark):
+    """max_peels caps the peeling; the capped result is the well-defined
+    N-peel state (what the driver oracle unrolls), converged or not."""
+    from scalemine_spark.algorithms import kcore
+
+    from tests.conftest import edges_df
+
+    # chain of length 12: 2-core is empty but peeling eats 2 endpoints/round
+    e = edges_df(spark, [(i, i + 1) for i in range(12)])
+    capped, info = kcore(e, 2, max_peels=2)
+    assert not info["converged"]
+    assert capped.count() > 0            # not yet empty after 2 peels
+    full, info_full = kcore(e, 2)
+    assert info_full["converged"] and full.count() == 0
+
+
+def test_kcore_resume(spark, tmp_path):
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import kcore
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(i, i + 1) for i in range(12)] + [(a, b) for a in range(30, 34) for b in range(30, a)])
+    ck = CheckpointManager(str(tmp_path), "r", "kcore")
+    c1, i1 = kcore(e, 2, checkpointer=ck)
+    ref = sorted((r["id"], r["core_deg"]) for r in c1.collect())
+    last = ck.latest()
+    for m in glob.glob(os.path.join(str(tmp_path), "r", "kcore", "_manifests", "*.json")):
+        if int(os.path.basename(m).split(".")[0]) >= last - 1:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "kcore")
+    c2, i2 = kcore(e, 2, checkpointer=ck2)
+    assert sorted((r["id"], r["core_deg"]) for r in c2.collect()) == ref
+    assert i2["peels_run"] <= i1["peels_run"]
