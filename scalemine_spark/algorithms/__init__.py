@@ -5,6 +5,7 @@ from scalemine_spark.algorithms.kcore import kcore
 from scalemine_spark.algorithms.labelprop import label_propagation
 from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.ppr import personalized_pagerank
+from scalemine_spark.algorithms.sssp import sssp
 from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "hits",
     "bfs_hops",
     "kcore",
+    "sssp",
 ]

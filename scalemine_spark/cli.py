@@ -15,6 +15,7 @@ Jobs:
     bfs        --edges <path> --out <path> --sources 1,2,3 [--max-hops N] [--run-id R --ckpt DIR]
     ppr        --edges <path> --out <path> --sources 1,2,3 [--iters N | --tol T] [--run-id R --ckpt DIR]
     kcore      --edges <path> --out <path> --k N [--max-peels N] [--run-id R --ckpt DIR]
+    sssp       --edges <path> --out <path> --sources 1,2,3 [--max-rounds N] [--weight-col W] [--run-id R --ckpt DIR]
     triangles  --edges <path> --out <path> [--per-vertex]
     hostgraph  --edges <path> --out <path> [--keep-intra-host]  (url edges -> host graph)
 
@@ -38,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--langs", default=None)
 
-    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "triangles", "hostgraph"):
+    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp", "triangles", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True)
         p.add_argument("--out", required=True)
@@ -62,11 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "kcore":
             p.add_argument("--k", type=int, required=True)
             p.add_argument("--max-peels", type=int, default=64)
+        if name == "sssp":
+            p.add_argument("--sources", required=True, help="comma-separated seed ids")
+            p.add_argument("--max-rounds", type=int, default=64)
+            p.add_argument("--weight-col", default="weight")
         if name == "triangles":
             p.add_argument("--per-vertex", action="store_true")
         if name == "hostgraph":
             p.add_argument("--keep-intra-host", action="store_true")
-        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore"):
+        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp"):
             p.add_argument("--run-id", default=None)
             p.add_argument("--ckpt", default=None)
 
@@ -171,6 +176,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             core.write.mode("overwrite").parquet(args.out)
             info.pop("alive_sizes", None)
+        elif args.job == "sssp":
+            from scalemine_spark.algorithms import sssp
+
+            dist, info = sssp(
+                edges,
+                [int(s) for s in args.sources.split(",")],
+                max_rounds=args.max_rounds,
+                weight_col=args.weight_col,
+                checkpointer=_ckpt(args, "sssp"),
+            )
+            dist.write.mode("overwrite").parquet(args.out)
+            info.pop("improved_sizes", None)
         elif args.job == "triangles":
             from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
 

@@ -460,6 +460,62 @@ def g9_kcore(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G10 — weighted single-source shortest paths, bounded at SSSP_ROUNDS so
+# the unrolled min-relaxation oracle computes the identical partial result
+# ("min total weight over paths of at most R edges") whether or not the
+# engine's frontier converged earlier — if it did, the fixpoint equals the
+# R-bounded result for every R >= the convergence round. Integer weights
+# derived deterministically from (src, dst) on BOTH sides, so every
+# operation is integer MIN — exact under any shuffle-merge order.
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 8
+
+# weight in 1..9, computable identically in Spark and DuckDB (src,dst >= 0)
+_W_EXPR_SQL = "1 + (src * 7 + dst * 13) % 9"
+
+
+def weighted_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_edges(spark, sf_dir).withColumn(
+        "weight",
+        (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 13) % 9).cast("long"),
+    )
+
+
+def _sssp_oracle(rounds: int = SSSP_ROUNDS) -> str:
+    src_list = ", ".join(str(s) for s in BFS_SOURCES)
+    parts = [
+        GEDGES_CTE,
+        VERTS_CTE,
+        f"wedges AS MATERIALIZED (SELECT src, dst, CAST({_W_EXPR_SQL} AS BIGINT) AS w FROM gedges)",
+        f"sp0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS dist FROM verts WHERE id IN ({src_list}))",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f"sp{k} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM sp{p} UNION ALL "
+            f"SELECT e.dst AS id, b.dist + e.w AS dist FROM wedges e "
+            f"JOIN sp{p} b ON e.src = b.id) u GROUP BY id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, dist FROM sp{rounds}"
+    )
+
+
+@q("g10_sssp", _sssp_oracle())
+def g10_sssp(spark, sf_dir):
+    from scalemine_spark.algorithms import sssp
+
+    dist, _ = sssp(
+        weighted_graph_edges(spark, sf_dir), BFS_SOURCES, max_rounds=SSSP_ROUNDS
+    )
+    return dist
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts
@@ -2486,7 +2542,7 @@ def m3_frames(spark, sf_dir):
 # running — that no query's driver row is more than one round old.
 _DRIVER_WINDOW = [
     # --- round-3-stale rows, rotated in ---
-    "p1_project", "p2_filter", "p3_dedup", "p4_self_loop_removal",
+    "p1_project", "p2_filter", "p3_dedup",
     "j3_skew_salted_join", "j4_left_outer", "j5_left_semi", "j6_left_anti",
     "j8_range_join", "j10_theta_join", "j11_cross_join",
     "a3_distinct_agg", "a5_hash_to_min", "a6_mode_agg", "a7_global_agg",
@@ -2505,7 +2561,12 @@ _DRIVER_WINDOW = [
     "t8_incremental_components", "d13_cosine_neardup",
     "d14_topk_ngrams", "d15_stratified_sample",
     "g6_hits", "x6_host_graph",
-    "g7_bfs_hops", "g8_personalized_pagerank", "g9_kcore",
+    "g7_bfs_hops", "g8_personalized_pagerank", "g9_kcore", "g10_sssp",
+    # p4_self_loop_removal stayed rotated out to fit g10 in the 50-slot
+    # window: its exact operation (filter(src != dst) on the edge table)
+    # executes inside graph_edges for EVERY in-window g row (g1, g7-g10),
+    # each value-hash-matched against an oracle carrying the same
+    # `WHERE src <> dst`; it returns next round.
     # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
     # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
     # make room for the seven earlier new rows; x2_href_extraction,

@@ -803,3 +803,79 @@ def test_kcore_resume(spark, tmp_path):
     c2, i2 = kcore(e, 2, checkpointer=ck2)
     assert sorted((r["id"], r["core_deg"]) for r in c2.collect()) == ref
     assert i2["peels_run"] <= i1["peels_run"]
+
+
+# ---------------------------------------------------------------------------
+# G10 — weighted SSSP (frontier Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+# cheapest path 1->3 is the 3-hop 1->4->5->3 (w=3), not the 2-hop
+# 1->2->3 (w=20): exercises "more hops can be cheaper" and the round-cap
+# partial-result contract. 6 unreachable from 1.
+SSSP_TRIPLES = [
+    (1, 2, 10), (2, 3, 10),
+    (1, 4, 1), (4, 5, 1), (5, 3, 1),
+    (6, 1, 2),
+]
+
+
+def _wedges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "src long, dst long, weight long",
+    )
+
+
+def test_sssp_matches_reference(spark):
+    from scalemine_spark.algorithms import sssp
+
+    dist, info = sssp(_wedges_df(spark, SSSP_TRIPLES), [1])
+    got = {r["id"]: r["dist"] for r in dist.collect()}
+    assert got == {1: 0, 2: 10, 4: 1, 5: 2, 3: 3}
+    assert info["converged"] and info["improved_sizes"][-1] == 0
+
+
+def test_sssp_round_cap_partial_result(spark):
+    """After R rounds dist = min weight over paths of AT MOST R edges —
+    the documented Bellman-Ford partial result."""
+    from scalemine_spark.algorithms import sssp
+
+    e = _wedges_df(spark, SSSP_TRIPLES)
+    d2, info2 = sssp(e, [1], max_rounds=2)
+    got2 = {r["id"]: r["dist"] for r in d2.collect()}
+    # 2-edge bound: 3 is reached via 1->2->3 (20); the cheaper 3-hop path
+    # is not yet visible
+    assert got2[3] == 20 and got2[5] == 2
+    assert not info2["converged"]
+    # multi-source: min over sources; 6 as a source makes it reachable
+    dm, _ = sssp(e, [1, 6])
+    gotm = {r["id"]: r["dist"] for r in dm.collect()}
+    assert gotm[6] == 0 and gotm[1] == 0 and gotm[3] == 3
+
+
+def test_sssp_resume(spark, tmp_path):
+    """Delete the last two committed rounds; the resumed run replays
+    exactly them (frontier restored from the committed `improved` column)
+    and lands on an identical dist table — integer MIN, bitwise."""
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import sssp
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    e = _wedges_df(spark, SSSP_TRIPLES)
+    ck = CheckpointManager(str(tmp_path), "r", "sssp")
+    d1, info1 = sssp(e, [1], checkpointer=ck)
+    ref = sorted((r["id"], r["dist"]) for r in d1.collect())
+    last = ck.latest()
+    assert last >= 2
+    for m in glob.glob(
+        os.path.join(str(tmp_path), "r", "sssp", "_manifests", "*.json")
+    ):
+        it = int(os.path.basename(m).split(".")[0])
+        if it >= last - 1:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "sssp")
+    d2, info2 = sssp(e, [1], checkpointer=ck2)
+    assert sorted((r["id"], r["dist"]) for r in d2.collect()) == ref
+    assert info2["rounds_run"] < info1["rounds_run"]
