@@ -1,10 +1,12 @@
 from scalemine_spark.algorithms.bfs import bfs_hops
+from scalemine_spark.algorithms.clustering import clustering_coefficient
 from scalemine_spark.algorithms.components import connected_components
 from scalemine_spark.algorithms.hits import hits
 from scalemine_spark.algorithms.kcore import kcore
 from scalemine_spark.algorithms.labelprop import label_propagation
 from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.ppr import personalized_pagerank
+from scalemine_spark.algorithms.randomwalk import random_walks
 from scalemine_spark.algorithms.sssp import sssp
 from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
@@ -19,4 +21,6 @@ __all__ = [
     "bfs_hops",
     "kcore",
     "sssp",
+    "clustering_coefficient",
+    "random_walks",
 ]

@@ -516,6 +516,94 @@ def g10_sssp(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G11 — local clustering coefficient: triangles(v) / C(deg(v),2) on the
+# undirected simple view (0.0 below degree 2). Pure composition of the
+# G4b triangle corners and the undirected degree count; one double
+# division on exact integers, rounded to 9dp on BOTH sides.
+# ---------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = f"""WITH {GEDGES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM gedges
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b
+),
+corners AS (
+  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) u GROUP BY id
+),
+tpv AS (SELECT id, COUNT(*) AS n FROM corners GROUP BY id)
+SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN d.deg >= 2
+                  THEN 2.0 * COALESCE(t.n, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 9) AS cc
+FROM deg d LEFT JOIN tpv t ON d.id = t.id"""
+
+
+@q("g11_clustering_coeff", _CLUSTERING_ORACLE)
+def g11_clustering(spark, sf_dir):
+    from scalemine_spark.algorithms import clustering_coefficient
+
+    return clustering_coefficient(graph_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# G12 — deterministic random-walk sampling: the walk corpus is a pure
+# integer-hash function of (edges, seeds, walks, length), so the oracle
+# unrolls the identical rank-choice arithmetic step by step. Walks stop at
+# outdegree-0 vertices (gedges' 1000+ layer), exercising the dead-end path.
+# ---------------------------------------------------------------------------
+
+RW_LENGTH = 4
+RW_WALKS = 2
+
+
+def _rw_oracle(length: int = RW_LENGTH, walks: int = RW_WALKS) -> str:
+    seed_vals = ", ".join(f"({s})" for s in BFS_SOURCES)
+    walk_vals = ", ".join(f"({w})" for w in range(walks))
+    parts = [
+        GEDGES_CTE,
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk FROM gedges)",
+        "odeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM gedges GROUP BY src)",
+        f"w0 AS MATERIALIZED (SELECT CAST(s.seed AS BIGINT) AS seed, "
+        f"CAST(w.walk AS INT) AS walk, CAST(s.seed AS BIGINT) AS cur "
+        f"FROM (VALUES {seed_vals}) s(seed) CROSS JOIN (VALUES {walk_vals}) w(walk))",
+    ]
+    for t in range(length):
+        parts.append(
+            f"w{t + 1} AS MATERIALIZED (SELECT f.seed, f.walk, a.dst AS cur "
+            f"FROM w{t} f JOIN odeg o ON f.cur = o.src "
+            f"JOIN adj a ON a.src = f.cur AND a.rnk = "
+            f"((f.cur % 1000003)*31 + (f.seed % 1000003)*17 + f.walk*7 + {t}*13) % o.od)"
+        )
+    selects = [
+        f"SELECT seed, walk, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(length + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@q("g12_random_walks", _rw_oracle())
+def g12_random_walks(spark, sf_dir):
+    from scalemine_spark.algorithms import random_walks
+
+    corpus, _ = random_walks(
+        graph_edges(spark, sf_dir),
+        BFS_SOURCES,
+        length=RW_LENGTH,
+        walks_per_seed=RW_WALKS,
+    )
+    return corpus
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts
@@ -2542,7 +2630,7 @@ def m3_frames(spark, sf_dir):
 # running — that no query's driver row is more than one round old.
 _DRIVER_WINDOW = [
     # --- round-3-stale rows, rotated in ---
-    "p1_project", "p2_filter", "p3_dedup",
+    "p3_dedup",
     "j3_skew_salted_join", "j4_left_outer", "j5_left_semi", "j6_left_anti",
     "j8_range_join", "j10_theta_join", "j11_cross_join",
     "a3_distinct_agg", "a5_hash_to_min", "a6_mode_agg", "a7_global_agg",
@@ -2562,11 +2650,15 @@ _DRIVER_WINDOW = [
     "d14_topk_ngrams", "d15_stratified_sample",
     "g6_hits", "x6_host_graph",
     "g7_bfs_hops", "g8_personalized_pagerank", "g9_kcore", "g10_sssp",
-    # p4_self_loop_removal stayed rotated out to fit g10 in the 50-slot
-    # window: its exact operation (filter(src != dst) on the edge table)
-    # executes inside graph_edges for EVERY in-window g row (g1, g7-g10),
-    # each value-hash-matched against an oracle carrying the same
-    # `WHERE src <> dst`; it returns next round.
+    "g11_clustering_coeff", "g12_random_walks",
+    # p4_self_loop_removal, p1_project and p2_filter stayed rotated out
+    # to fit g10/g11/g12 in the 50-slot window: their exact operations (a
+    # column select; a predicate filter; filter(src != dst) on the edge
+    # table) execute inside graph_edges for EVERY in-window g row (g1,
+    # g7-g12), each value-hash-matched against an oracle carrying the
+    # same projection and `WHERE src <> dst` — and predicate filters
+    # additionally run hash-verified inside most in-window a/w/f/o rows.
+    # All three return next round.
     # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
     # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
     # make room for the seven earlier new rows; x2_href_extraction,

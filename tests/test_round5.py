@@ -879,3 +879,82 @@ def test_sssp_resume(spark, tmp_path):
     d2, info2 = sssp(e, [1], checkpointer=ck2)
     assert sorted((r["id"], r["dist"]) for r in d2.collect()) == ref
     assert info2["rounds_run"] < info1["rounds_run"]
+
+
+# ---------------------------------------------------------------------------
+# G11 — local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_coefficient_small(spark):
+    from scalemine_spark.algorithms import clustering_coefficient
+
+    from tests.conftest import edges_df
+
+    # triangle 1-2-3 plus pendant 3-4 (directed inputs canonicalize)
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1)])
+    got = {
+        r["id"]: (r["deg"], r["triangles"], r["cc"])
+        for r in clustering_coefficient(e).collect()
+    }
+    assert got[1] == (2, 1, 1.0) and got[2] == (2, 1, 1.0)
+    assert got[3] == (3, 1, round(1 / 3, 9))
+    assert got[4] == (1, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# G12 — deterministic random walks
+# ---------------------------------------------------------------------------
+
+
+def _rw_python(pairs, seeds, length, walks):
+    """Pure-python replay of the normative chooser."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in sorted(set(pairs)):
+        adj[a].append(b)
+    rows = []
+    P = 1000003
+    for s in seeds:
+        for w in range(walks):
+            cur = s
+            rows.append((s, w, 0, cur))
+            for t in range(length):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                r = ((cur % P) * 31 + (s % P) * 17 + w * 7 + t * 13) % len(nbrs)
+                cur = nbrs[r]
+                rows.append((s, w, t + 1, cur))
+    return sorted(rows)
+
+
+def test_random_walks_match_python_replay(spark):
+    from scalemine_spark.algorithms import random_walks
+
+    from tests.conftest import edges_df
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (3, 5), (4, 1), (5, 5)]
+    e = edges_df(spark, pairs)
+    corpus, info = random_walks(e, [1, 2], length=5, walks_per_seed=3)
+    got = sorted(
+        (r["seed"], r["walk"], r["step"], r["vertex"]) for r in corpus.collect()
+    )
+    assert got == _rw_python(pairs, [1, 2], 5, 3)
+    assert info["steps_run"] <= 5
+
+
+def test_random_walks_dead_end_and_determinism(spark):
+    from scalemine_spark.algorithms import random_walks
+
+    from tests.conftest import edges_df
+
+    # 1 -> 2 -> 3, 3 has no out-edges: walk dies after step 2
+    e = edges_df(spark, [(1, 2), (2, 3)])
+    c1, i1 = random_walks(e, [1], length=10, walks_per_seed=1)
+    rows1 = sorted(tuple(r) for r in c1.collect())
+    assert rows1 == [(1, 0, 0, 1), (1, 0, 1, 2), (1, 0, 2, 3)]
+    assert i1["frontier_sizes"][-1] == 0  # stopped early, not length-capped
+    c2, _ = random_walks(e, [1], length=10, walks_per_seed=1)
+    assert sorted(tuple(r) for r in c2.collect()) == rows1
