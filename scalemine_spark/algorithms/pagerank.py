@@ -38,17 +38,31 @@ from scalemine_spark.checkpoint import CheckpointManager
 from scalemine_spark.graph import out_degrees, vertex_ids
 
 
-def _prepare(edges: DataFrame, num_partitions: int | None):
-    """vertices(id, out_deg) persisted; edges persisted partitioned on src."""
+def _prepare(edges: DataFrame, num_partitions: int | None, weight_col: str | None = None):
+    """vertices(id, out_deg) persisted; edges persisted partitioned on src.
+
+    With weight_col, `out_deg` is the vertex's total OUT-WEIGHT (double,
+    Σ of its edge weights) instead of the edge count — every downstream
+    use (dangling = out_deg==0, w = rank/out_deg, hub cutoff) reads
+    through the same column, so the weighted variant reuses the exact
+    iteration plan.
+    """
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # partition AND sort the big side once: the cached ordering feeds every
     # iteration's sort-merge join, eliminating the per-iteration O(E log E)
     # sort of the edge table (only the V-sized rank side sorts each round)
-    e = edges.select("src", "dst").repartition(p, "src").sortWithinPartitions("src").persist()
+    cols = ["src", "dst"] + (
+        [F.col(weight_col).cast("double").alias("ew")] if weight_col else []
+    )
+    e = edges.select(*cols).repartition(p, "src").sortWithinPartitions("src").persist()
+    if weight_col:
+        outd = e.groupBy(F.col("src").alias("id")).agg(F.sum("ew").alias("out_deg"))
+    else:
+        outd = out_degrees(e)
     verts = (
         vertex_ids(e)
-        .join(out_degrees(e), "id", "left")
+        .join(outd, "id", "left")
         .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
         .repartition(p, "id")
         .persist()
@@ -70,6 +84,7 @@ def pagerank(
     with_prev: bool = False,
     spmv: str = "codegen",
     exact_sums: bool = False,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Returns (ranks DF (id, rank), info dict with iters/deltas/edges_per_sec).
 
@@ -104,9 +119,19 @@ def pagerank(
     flagship metric is double-sum SpMV throughput and the score contract
     is allclose 1e-6, which double sums meet; cost of True is measured in
     BENCH/ab_pr_variants.json.
+    weight_col: weighted PageRank — u's rank is distributed to its
+    out-neighbors proportionally to edge weight (non-negative):
+    r_{t+1}(v) = (1-d)/N + d*(Σ_u r_t(u)·w(u,v)/out_w(u) + dangling_t/N),
+    dangling_t = Σ_{out_w(u)=0} r_t(u) (zero-total-out-weight vertices,
+    including all-zero-weight ones, are dangling). The iteration plan is
+    IDENTICAL to the unweighted one (out_deg becomes the out-weight column,
+    the SpMV multiplies by ew before the same partial agg); weight_col=None
+    preserves the unweighted path bit-for-bit. Requires spmv='codegen'.
     """
+    if weight_col is not None and spmv == "arrow":
+        raise ValueError("weight_col requires the codegen SpMV path")
     spark = edges.sparkSession
-    e, verts, p = _prepare(edges, num_partitions)
+    e, verts, p = _prepare(edges, num_partitions, weight_col)
     # one scalar job yields BOTH |V| and max out-degree — the max lets the
     # 'auto' hub cutoff skip its exact top-K scan entirely on hubless graphs
     # (measured round 3: the orderBy(desc).limit(K) + filter-count job pair
@@ -240,8 +265,9 @@ def pagerank(
 
             contribs = spmv_partial_arrow(contrib_in.select("dst", "w"))
         else:
+            cexpr = F.col("w") * F.col("ew") if weight_col else F.col("w")
             contribs = contrib_in.groupBy("dst").agg(
-                _s(F.col("w")).alias("contrib")
+                _s(cexpr).alias("contrib")
             )
 
         # `base` changes every iteration and is shipped as a plain literal:

@@ -958,3 +958,79 @@ def test_random_walks_dead_end_and_determinism(spark):
     assert i1["frontier_sizes"][-1] == 0  # stopped early, not length-capped
     c2, _ = random_walks(e, [1], length=10, walks_per_seed=1)
     assert sorted(tuple(r) for r in c2.collect()) == rows1
+
+
+# ---------------------------------------------------------------------------
+# G1 weighted variant — weight_col on pagerank()
+# ---------------------------------------------------------------------------
+
+
+def _weighted_pr_numpy(triples, d=0.85, iters=30):
+    import numpy as np
+
+    ids = sorted({v for a, b, _ in triples for v in (a, b)})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    outw = np.zeros(n)
+    for a, b, w in triples:
+        outw[idx[a]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for a, b, w in triples:
+            if outw[idx[a]] > 0:
+                contrib[idx[b]] += r[idx[a]] * w / outw[idx[a]]
+        dangling = r[outw == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in ids}
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from scalemine_spark.algorithms import pagerank
+
+    triples = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+        (4, 1, 5.0), (2, 4, 0.0),  # zero-weight edge contributes nothing
+        (5, 5, 0.0),               # all-zero out-weight -> dangling
+    ]
+    e = spark.createDataFrame(triples, "src long, dst long, weight double")
+    ranks, info = pagerank(e, fixed_iters=30, weight_col="weight")
+    got = {r["id"]: r["rank"] for r in ranks.collect()}
+    ref = _weighted_pr_numpy(triples, iters=30)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12, (v, got[v], ref[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_unit_weights_equal_unweighted(spark):
+    from pyspark.sql import functions as F
+
+    from scalemine_spark.algorithms import pagerank
+
+    from tests.conftest import edges_df
+
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 4)]
+    e = edges_df(spark, pairs)
+    base, _ = pagerank(e, fixed_iters=8)
+    ew = e.withColumn("weight", F.lit(1.0))
+    wtd, _ = pagerank(ew, fixed_iters=8, weight_col="weight")
+    b = {r["id"]: r["rank"] for r in base.collect()}
+    w = {r["id"]: r["rank"] for r in wtd.collect()}
+    assert set(b) == set(w)
+    for v in b:
+        assert abs(b[v] - w[v]) < 1e-15, (v, b[v], w[v])
+
+
+def test_weighted_pagerank_rejects_arrow_path(spark):
+    import pytest as _pytest
+
+    from scalemine_spark.algorithms import pagerank
+
+    from tests.conftest import edges_df
+
+    e = edges_df(spark, [(1, 2)]).withColumn("weight", F.lit(1.0))
+    with _pytest.raises(ValueError, match="codegen"):
+        pagerank(e, fixed_iters=1, weight_col="weight", spmv="arrow")
