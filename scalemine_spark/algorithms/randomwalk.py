@@ -19,14 +19,19 @@ overflows ANSI BIGINT. A walk that reaches a vertex with outdegree 0
 stops (no further rows). Output: (seed, walk, step, vertex) — step 0 is
 the seed itself.
 
-Scale plan (100 TB): the ranked adjacency (src, rank, dst, outdeg) is
-built once — one window rank + one partial-agg count — partitioned by src
-and persisted. Each step is TWO narrow-key equi-joins driven by the
-frontier (frontier ⋈ outdeg on src to compute the chosen rank, then
-(cur, rank) ⋈ adjacency on BOTH keys), so a hub of degree D costs one
-row lookup per walker, never a D-row fan-out. Frontier size is
-monotonically non-increasing (walks die at dead ends, never branch), and
-steps are short (length ~ 10-80 for embedding corpora); lineage is
+Scale plan (100 TB): the ranked adjacency (src, rank, dst) is built
+once — one window rank + one partial-agg count — partitioned AND sorted
+on (src, rank), persisted; outdeg likewise on src. Each step is TWO
+narrow-key equi-joins driven by the frontier (frontier ⋈ outdeg on src
+to compute the chosen rank, then (cur, rank) ⋈ adjacency on BOTH keys),
+so a hub of degree D costs one row lookup per walker, never a D-row
+fan-out — and because the cached big sides already satisfy the joins'
+required distribution and ordering, only the walker-sized frontier
+shuffles per step; the E-sized side is never re-exchanged or re-sorted
+(first cut cached on src alone and measured 1.8x slower at 60M/local[32]
+from the per-step E re-shuffle — BENCH/new_algos_r5.json). Frontier size
+is monotonically non-increasing (walks die at dead ends, never branch),
+and steps are short (length ~ 10-80 for embedding corpora); lineage is
 truncated per step.
 """
 
@@ -63,15 +68,34 @@ def random_walks(
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     adj = edges.select("src", "dst").distinct()
+    # partition the persisted adjacency on BOTH join keys: the per-step
+    # lookup joins on (cur, rnk), and a cache partitioned on src alone
+    # would re-shuffle all E rows EVERY step (measured at 60M/local[32]:
+    # ~25s/step before, see BENCH/new_algos_r5.json) — with hash(src, rnk)
+    # the big side's output partitioning satisfies the join requirement
+    # and only the frontier shuffles per step. Same for the V-sized odeg.
     ranked = (
         adj.withColumn(
             "rnk",
             F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
         )
-        .repartition(p, "src")
+        .repartition(p, "src", "rnk")
+        .sortWithinPartitions("src", "rnk")
         .persist()
     )
-    odeg = adj.groupBy("src").agg(F.count("*").alias("od")).persist()
+    odeg = (
+        adj.groupBy("src")
+        .agg(F.count("*").alias("od"))
+        .repartition(p, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
+    # A broadcast-frontier variant (hinting the walker side into both
+    # joins) was A/B'd at 60M/100k walkers and measured no faster than
+    # this shuffle path (BENCH/new_algos_r5.json: the cached-E probe scan
+    # dominates either way, and the per-step driver collect adds cost);
+    # production walker counts exceed any broadcast budget anyway, so the
+    # shuffle plan is the only one kept.
 
     walks = spark.range(walks_per_seed).select(
         F.col("id").cast("int").alias("walk")
