@@ -46,7 +46,14 @@ def bfs_hops(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select("src", "dst").repartition(p, "src").persist()
+    # sorted cache: the per-hop frontier⋈e sort-merge join reuses the
+    # cached ordering instead of re-sorting E every hop (G1/G6 rule)
+    e = (
+        edges.select("src", "dst")
+        .repartition(p, "src")
+        .sortWithinPartitions("src")
+        .persist()
+    )
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -53,9 +53,14 @@ def sssp(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # partition AND sort the cached edge table once: every round's
+    # frontier⋈e sort-merge join then reuses the cached ordering instead
+    # of re-sorting E per round (the G1/G6 edge-cache rule; the same miss
+    # cost 1.8x on g12's lookup cache, BENCH/new_algos_r5.json)
     e = (
         edges.select("src", "dst", F.col(weight_col).alias("w"))
         .repartition(p, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     verts = (
