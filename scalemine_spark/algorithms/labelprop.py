@@ -35,7 +35,9 @@ def label_propagation(
     spark = edges.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    sym = symmetrize(edges).repartition(p, "dst").persist()
+    # partitioned AND sorted once: the per-iteration sym⋈labels sort-merge
+    # join reuses the cached ordering instead of re-sorting 2E rows per round
+    sym = symmetrize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
     # vertices come from the RAW edge endpoints (not sym, which drops
     # self-loops): a vertex appearing only in self-loop edges still exists and
     # keeps its own label throughout — consistent with pagerank / components.
