@@ -16,6 +16,7 @@ Jobs:
     ppr        --edges <path> --out <path> --sources 1,2,3 [--iters N | --tol T] [--run-id R --ckpt DIR]
     kcore      --edges <path> --out <path> --k N [--max-peels N] [--run-id R --ckpt DIR]
     sssp       --edges <path> --out <path> --sources 1,2,3 [--max-rounds N] [--weight-col W] [--run-id R --ckpt DIR]
+    walks      --edges <path> --out <path> --sources 1,2,3 [--length N] [--walks-per-seed K]
     triangles  --edges <path> --out <path> [--per-vertex]
     hostgraph  --edges <path> --out <path> [--keep-intra-host]  (url edges -> host graph)
 
@@ -39,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--langs", default=None)
 
-    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp", "triangles", "hostgraph"):
+    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp", "walks", "triangles", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True)
         p.add_argument("--out", required=True)
@@ -67,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--sources", required=True, help="comma-separated seed ids")
             p.add_argument("--max-rounds", type=int, default=64)
             p.add_argument("--weight-col", default="weight")
+        if name == "walks":
+            p.add_argument("--sources", required=True, help="comma-separated seed ids")
+            p.add_argument("--length", type=int, default=10)
+            p.add_argument("--walks-per-seed", type=int, default=1)
         if name == "triangles":
             p.add_argument("--per-vertex", action="store_true")
         if name == "hostgraph":
@@ -188,6 +193,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             dist.write.mode("overwrite").parquet(args.out)
             info.pop("improved_sizes", None)
+        elif args.job == "walks":
+            from scalemine_spark.algorithms import random_walks
+
+            corpus, info = random_walks(
+                edges,
+                [int(s) for s in args.sources.split(",")],
+                length=args.length,
+                walks_per_seed=args.walks_per_seed,
+            )
+            corpus.write.mode("overwrite").parquet(args.out)
+            info.pop("frontier_sizes", None)
         elif args.job == "triangles":
             from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
 
