@@ -151,3 +151,52 @@ def test_asof_join_plan_aggregates_not_window(spark):
     plan = _plan(q)
     assert "Window" not in plan, plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
+def test_sorted_edge_cache_feeds_smj_without_resort(spark):
+    """The iterative-algorithm edge-cache rule (pagerank/hits/sssp/bfs/lpa/
+    random_walks): a persisted cache repartitioned AND sortWithinPartitions
+    on the join key feeds every per-round sort-merge join through its cached
+    ordering — no Sort and no Exchange above the InMemoryTableScan. The
+    contrast case (unsorted cache) re-sorts the E-sized side per join, which
+    measured 1.8x slower on g12's lookup cache (BENCH/new_algos_r5.json)."""
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = spark.range(1000).select(
+            (F.col("id") % 100).alias("src"), (F.col("id") % 7).alias("dst")
+        )
+        frontier = spark.range(10).select(F.col("id").alias("src"))
+
+        def cache_side_sorts(e) -> int:
+            """Sort nodes between the SMJ and the InMemoryTableScan (the
+            cache's internal build plan, re-printed under InMemoryRelation,
+            is excluded by cutting at the relation line)."""
+            plan = _plan(e.join(frontier, "src"))
+            n = 0
+            for ln in plan.splitlines():
+                if "InMemoryRelation" in ln:
+                    break
+                if "Sort " in ln and "SortMergeJoin" not in ln:
+                    n += 1
+            return n
+
+        sorted_cache = (
+            base.repartition(8, "src").sortWithinPartitions("src").persist()
+        )
+        sorted_cache.count()
+        unsorted_cache = base.repartition(8, "src").persist()
+        unsorted_cache.count()
+        try:
+            assert cache_side_sorts(sorted_cache) == 0, _plan(
+                sorted_cache.join(frontier, "src")
+            )
+            assert cache_side_sorts(unsorted_cache) >= 1
+        finally:
+            sorted_cache.unpersist()
+            unsorted_cache.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
