@@ -4,6 +4,7 @@ from scalemine_spark.algorithms.components import connected_components
 from scalemine_spark.algorithms.hits import hits
 from scalemine_spark.algorithms.kcore import kcore
 from scalemine_spark.algorithms.labelprop import label_propagation
+from scalemine_spark.algorithms.linkpred import adamic_adar
 from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.ppr import personalized_pagerank
 from scalemine_spark.algorithms.randomwalk import random_walks
@@ -23,4 +24,5 @@ __all__ = [
     "sssp",
     "clustering_coefficient",
     "random_walks",
+    "adamic_adar",
 ]

@@ -604,6 +604,46 @@ def g12_random_walks(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G13 — Adamic-Adar link prediction: top-k candidate (non-edge) pairs by
+# Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w), tie-broken by (u, v) after 9dp rounding
+# so the cut is deterministic on both sides. Registered OUTSIDE the 50-slot
+# driver window this round (window full with g10-g12); locally verified
+# exact via tools/check_oracles.py and rotates into the window next round.
+# ---------------------------------------------------------------------------
+
+AA_TOPK = 100
+
+_AA_ORACLE = f"""WITH {GEDGES_CTE},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM gedges
+),
+adj AS MATERIALIZED (
+  SELECT a AS w, b AS n FROM und UNION ALL SELECT b AS w, a AS n FROM und
+),
+deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY w),
+pairs AS (
+  SELECT a1.n AS u, a2.n AS v,
+         CAST(FLOOR(1e9/LN(CAST(d.deg AS DOUBLE))) AS BIGINT) AS c
+  FROM adj a1 JOIN adj a2 ON a1.w = a2.w AND a1.n < a2.n
+  JOIN deg d ON d.w = a1.w AND d.deg >= 2
+),
+scored AS (SELECT u, v, SUM(c) AS score_n FROM pairs GROUP BY u, v),
+cand AS (
+  SELECT s.u, s.v, CAST(s.score_n AS BIGINT) AS score_n FROM scored s
+  LEFT JOIN und e ON s.u = e.a AND s.v = e.b WHERE e.a IS NULL
+)
+SELECT u, v, score_n FROM cand
+ORDER BY score_n DESC, u, v LIMIT {AA_TOPK}"""
+
+
+@q("g13_adamic_adar", _AA_ORACLE)
+def g13_adamic_adar(spark, sf_dir):
+    from scalemine_spark.algorithms import adamic_adar
+
+    return adamic_adar(graph_edges(spark, sf_dir), k=AA_TOPK, exact_weights=True)
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts

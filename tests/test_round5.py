@@ -1034,3 +1034,51 @@ def test_weighted_pagerank_rejects_arrow_path(spark):
     e = edges_df(spark, [(1, 2)]).withColumn("weight", F.lit(1.0))
     with _pytest.raises(ValueError, match="codegen"):
         pagerank(e, fixed_iters=1, weight_col="weight", spmv="arrow")
+
+
+# ---------------------------------------------------------------------------
+# G13 — Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_small(spark):
+    import math
+
+    from scalemine_spark.algorithms import adamic_adar
+
+    from tests.conftest import edges_df
+
+    # square 1-2-3-4-1: candidates (1,3) and (2,4), each via two deg-2
+    # centers -> score 2/ln(2); existing edges excluded
+    e = edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    rows = adamic_adar(e, k=10).collect()
+    got = {(r["u"], r["v"]): r["score"] for r in rows}
+    exp = round(2 / math.log(2), 9)
+    assert got == {(1, 3): exp, (2, 4): exp}
+
+
+def test_adamic_adar_exact_weights_and_cap(spark):
+    import math
+
+    from scalemine_spark.algorithms import adamic_adar
+
+    from tests.conftest import edges_df
+
+    # star center 0 with leaves 1..5 (deg 5) plus edge 1-2: candidate pairs
+    # among leaves score via center 0 only
+    pairs = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    e = edges_df(spark, pairs)
+    rows = adamic_adar(e, k=100, exact_weights=True).collect()
+    got = {(r["u"], r["v"]): r["score_n"] for r in rows}
+    w5 = math.floor(1e9 / math.log(5))
+    # (1,2) is an existing edge -> excluded; other leaf pairs present
+    assert (1, 2) not in got
+    assert got[(1, 3)] == w5 and got[(4, 5)] == w5
+    # (1,2)'s center-0 contribution plus... excluded anyway; now cap out
+    # the hub: no centers of deg >= 2 remain except 1 and 2 (deg 2 each,
+    # sharing neighbor 0) -> only candidate is their wedge pair... which
+    # is (0-1-2 / 0-2-1) centered at 1 and 2 giving pair (0, 2)? No:
+    # centers 1,2 have neighbors {0,2},{0,1} -> pairs (0,2) and (0,1),
+    # both existing edges -> empty result.
+    rows2 = adamic_adar(e, k=100, max_center_degree=4, exact_weights=True).collect()
+    assert rows2 == []
