@@ -10,6 +10,7 @@ from scalemine_spark.operators.similarity import (
     cosine_topk,
     kmeans_codebook,
 )
+from scalemine_spark.operators.text import tfidf_topk
 
 __all__ = [
     "salted_join",
@@ -20,4 +21,5 @@ __all__ = [
     "ann_lsh",
     "ann_ivf",
     "kmeans_codebook",
+    "tfidf_topk",
 ]

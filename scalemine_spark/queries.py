@@ -2067,6 +2067,35 @@ def d15_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@q(
+    "d16_tfidf_topk",
+    """WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         CAST(t.tf * CAST(FLOOR(1e9 * LN((SELECT n FROM nd)/d.df)) AS BIGINT)
+              AS BIGINT) AS score_n
+  FROM tf t JOIN df d USING (term)),
+ranked AS (SELECT doc_id, term, score_n,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_n DESC, term) AS INT) AS rk
+           FROM scored)
+SELECT doc_id, term, score_n, rk FROM ranked WHERE rk <= 3""",
+)
+def d16_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (keyword extraction for training-mix
+    curation). Exact BIGINT nano-weight contract — see operators/text.py
+    tfidf_topk docstring; registered outside the full round-5 driver
+    window, rotates in next round (same as g13)."""
+    from scalemine_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(t(spark, sf_dir, "documents"), k=3)
+
+
 # ===========================================================================
 # X — extraction rows (pages is engine-synthesized; not a DuckDB view ->
 # rows-only driver checks; byte-identity is pinned exactly in pytest)

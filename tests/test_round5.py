@@ -1082,3 +1082,42 @@ def test_adamic_adar_exact_weights_and_cap(spark):
     # both existing edges -> empty result.
     rows2 = adamic_adar(e, k=100, max_center_degree=4, exact_weights=True).collect()
     assert rows2 == []
+
+
+# ---------------------------------------------------------------------------
+# D16 — TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_small(spark):
+    import math
+
+    from scalemine_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(docs, k=2).collect()
+    got = {(r["doc_id"], r["rk"]): (r["term"], r["score_n"]) for r in rows}
+
+    def w(tf, df, n=3):
+        return tf * math.floor(1e9 * math.log(n / df))
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert got[(1, 1)] == ("apple", w(2, 1))
+    assert got[(1, 2)] == ("banana", w(1, 2))
+    # doc 2: banana and cherry tie (tf=1, df=2) -> term asc breaks it
+    assert got[(2, 1)] == ("banana", w(1, 2))
+    assert got[(2, 2)] == ("cherry", w(1, 2))
+    # doc 3: cherry tf=2 df=2 vs date tf=1 df=1: 2*ln(1.5) > 1*ln(3)? no —
+    # compare the actual nano-weights like the engine does
+    exp3 = sorted(
+        [("cherry", w(2, 2)), ("date", w(1, 1))],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got[(3, 1)] == exp3[0] and got[(3, 2)] == exp3[1]
