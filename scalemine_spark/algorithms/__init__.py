@@ -8,6 +8,7 @@ from scalemine_spark.algorithms.linkpred import adamic_adar
 from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.ppr import personalized_pagerank
 from scalemine_spark.algorithms.randomwalk import random_walks
+from scalemine_spark.algorithms.scc import scc
 from scalemine_spark.algorithms.sssp import sssp
 from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
@@ -25,4 +26,5 @@ __all__ = [
     "clustering_coefficient",
     "random_walks",
     "adamic_adar",
+    "scc",
 ]

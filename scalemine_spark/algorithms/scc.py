@@ -1,0 +1,188 @@
+"""G14 — strongly connected components (web bow-tie analysis) via the
+coloring algorithm (Orzan-style FW-coloring), as iterative DataFrame jobs
+[north_rule domain: link-graph analytics; SCC is the canonical directed
+decomposition of a web graph — the bow-tie's CORE/IN/OUT structure].
+
+Algorithm (normative):
+  repeat until no vertex remains (bounded by max_outer):
+    1. COLOR: on the remaining subgraph, propagate color(v) =
+       max({v} ∪ {color(u) : u→v}) to fixpoint (bounded by max_inner) —
+       color(v) = the largest remaining id that can reach v forward.
+    2. COLLECT: roots are vertices with color(v) == v. For each root r,
+       SCC(r) = {v : color(v) == r and v reaches r forward} — computed as
+       a multi-root backward expansion over forward edges (frontier on
+       dst yields src), restricted to vertices of the same color, to
+       fixpoint (bounded by max_inner).
+    3. Remove the found SCCs and recurse on the rest.
+  Output: (id, scc) with scc = the largest vertex id of the component.
+
+Every operation is integer MAX / set algebra — **exactly deterministic**
+under any shuffle-merge order. The bounded-round contract matches
+G7/G9/G10: max-propagation and reachability are monotone and idempotent,
+so an engine run that CONVERGES within the bounds equals the fixed-round
+unrolled oracle for any unroll ≥ the convergence round; info reports
+convergence per phase so a hit bound is loud, never silent.
+
+Scale plan (100 TB): per inner iteration ONE remaining-subgraph edge join
+(the edge cache is re-restricted per outer round via two left-semi joins,
+then repartitioned+sorted on the probe key once — the per-round joins
+reuse the cached ordering, the G1/G6 edge-cache rule) plus one partial-agg
+MAX and a V-sized merge; the backward phase is frontier-driven so only
+newly reached vertices expand (each SCC member is expanded exactly once).
+On web graphs the giant CORE has one root, so most mass resolves in outer
+round 1; outer rounds shrink the vertex set monotonically. Lineage is
+truncated every inner iteration; the committed state per outer round is
+the accumulated (id, scc) table, so resume skips completed outer rounds.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from scalemine_spark.checkpoint import CheckpointManager
+
+
+def scc(
+    edges: DataFrame,
+    max_outer: int = 16,
+    max_inner: int = 128,
+    checkpointer: CheckpointManager | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Returns ((id, scc) DF covering every vertex, info)."""
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e_all = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(p, "id")
+        .persist()
+    )
+
+    start = 0
+    done: DataFrame | None = None  # accumulated (id, scc)
+    if checkpointer is not None:
+        last = checkpointer.latest()
+        if last is not None:
+            done = checkpointer.read_state(spark, last)
+            start = last + 1
+
+    remaining = verts
+    if done is not None:
+        remaining = verts.join(done, "id", "left_anti").localCheckpoint(eager=True)
+
+    outer_sizes: list[int] = []
+    inner_iters: list[tuple[int, int]] = []
+    converged = False
+    t0 = time.monotonic()
+    for outer in range(start, max_outer):
+        n_rem = remaining.count()
+        if n_rem == 0:
+            converged = True
+            break
+        outer_sizes.append(n_rem)
+
+        # subgraph edges among remaining vertices, cached sorted on the
+        # probe key (src for color fan-out, dst for backward expansion)
+        rem_ids = remaining.select("id")
+        e = (
+            e_all.join(rem_ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(rem_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .repartition(p, "src")
+            .sortWithinPartitions("src")
+            .persist()
+        )
+        e_by_dst = (
+            e.repartition(p, "dst").sortWithinPartitions("dst").persist()
+        )
+
+        # --- phase 1: forward max-color propagation to fixpoint ---
+        color = remaining.select("id", F.col("id").alias("color")).localCheckpoint(
+            eager=True
+        )
+        k_color = 0
+        for it in range(max_inner):
+            cand = (
+                e.join(color.select(F.col("id").alias("src"), "color"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("cand"))
+            )
+            merged = color.join(cand, "id", "left").select(
+                "id",
+                F.greatest("color", "cand").alias("color"),
+                (F.col("cand") > F.col("color")).alias("chg"),
+            )
+            obs = Observation(f"scc_color_{outer}_{it}")
+            merged = merged.observe(
+                obs, F.sum(F.col("chg").cast("long")).alias("n")
+            )
+            color = merged.select("id", "color").localCheckpoint(eager=True)
+            k_color = it + 1
+            if int(obs.get["n"] or 0) == 0:
+                break
+
+        # --- phase 2: multi-root backward reach within color classes ---
+        # frontier rows are (id, scc=root); expansion: forward edge u->v
+        # with v in the frontier reaches u, kept only if color(u) == root
+        reached = color.filter(F.col("id") == F.col("color")).select(
+            "id", F.col("id").alias("scc")
+        ).localCheckpoint(eager=True)
+        frontier = reached
+        k_reach = 0
+        for it in range(max_inner):
+            preds = (
+                e_by_dst.join(
+                    frontier.select(F.col("id").alias("dst"), "scc"), "dst"
+                )
+                .select(F.col("src").alias("id"), "scc")
+                .distinct()
+            )
+            new = (
+                preds.join(color, "id")
+                .filter(F.col("color") == F.col("scc"))
+                .select("id", "scc")
+                .join(reached.select("id"), "id", "left_anti")
+            )
+            frontier = new.localCheckpoint(eager=True)
+            k_reach = it + 1
+            if frontier.count() == 0:
+                break
+            reached = reached.unionAll(frontier).localCheckpoint(eager=True)
+        inner_iters.append((k_color, k_reach))
+
+        done = reached if done is None else done.unionAll(reached)
+        if checkpointer is not None:
+            done = checkpointer.commit(outer, done, {"remaining": float(n_rem)})
+        else:
+            done = done.localCheckpoint(eager=True)
+        remaining = remaining.join(reached.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        e.unpersist()
+        e_by_dst.unpersist()
+    else:
+        converged = remaining.count() == 0
+
+    if done is None:  # empty input graph
+        done = verts.select("id", F.col("id").alias("scc"))
+    info = {
+        "outer_rounds": len(outer_sizes),
+        "outer_sizes": outer_sizes,
+        "inner_iters": inner_iters,
+        "converged": converged,
+        "seconds": time.monotonic() - t0,
+    }
+    e_all.unpersist()
+    verts.unpersist()
+    return done.select("id", "scc"), info

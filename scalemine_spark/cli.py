@@ -17,6 +17,7 @@ Jobs:
     kcore      --edges <path> --out <path> --k N [--max-peels N] [--run-id R --ckpt DIR]
     sssp       --edges <path> --out <path> --sources 1,2,3 [--max-rounds N] [--weight-col W] [--run-id R --ckpt DIR]
     walks      --edges <path> --out <path> --sources 1,2,3 [--length N] [--walks-per-seed K]
+    scc        --edges <path> --out <path> [--max-outer N --max-inner N] [--run-id R --ckpt DIR]
     triangles  --edges <path> --out <path> [--per-vertex]
     hostgraph  --edges <path> --out <path> [--keep-intra-host]  (url edges -> host graph)
 
@@ -40,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--out", required=True)
     pe.add_argument("--langs", default=None)
 
-    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp", "walks", "triangles", "hostgraph"):
+    for name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp", "walks", "scc", "triangles", "hostgraph"):
         p = sub.add_parser(name)
         p.add_argument("--edges", required=True)
         p.add_argument("--out", required=True)
@@ -72,11 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--sources", required=True, help="comma-separated seed ids")
             p.add_argument("--length", type=int, default=10)
             p.add_argument("--walks-per-seed", type=int, default=1)
+        if name == "scc":
+            p.add_argument("--max-outer", type=int, default=16)
+            p.add_argument("--max-inner", type=int, default=128)
         if name == "triangles":
             p.add_argument("--per-vertex", action="store_true")
         if name == "hostgraph":
             p.add_argument("--keep-intra-host", action="store_true")
-        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp"):
+        if name in ("pagerank", "cc", "lpa", "hits", "bfs", "ppr", "kcore", "sssp", "scc"):
             p.add_argument("--run-id", default=None)
             p.add_argument("--ckpt", default=None)
 
@@ -204,6 +208,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             corpus.write.mode("overwrite").parquet(args.out)
             info.pop("frontier_sizes", None)
+        elif args.job == "scc":
+            from scalemine_spark.algorithms import scc
+
+            labels, info = scc(
+                edges,
+                max_outer=args.max_outer,
+                max_inner=args.max_inner,
+                checkpointer=_ckpt(args, "scc"),
+            )
+            labels.write.mode("overwrite").parquet(args.out)
+            info.pop("outer_sizes", None)
+            info.pop("inner_iters", None)
         elif args.job == "triangles":
             from scalemine_spark.algorithms import triangle_count, triangles_per_vertex
 

@@ -644,6 +644,87 @@ def g13_adamic_adar(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G14 — strongly connected components on a cyclic view of the link graph
+# (gedges ∪ reversed edges where (src+dst)%7==0, so real multi-vertex SCCs
+# exist). The oracle unrolls the SAME coloring algorithm with fixed bounds
+# (R outer rounds, K color steps, K reach steps); max-propagation and
+# reachability are monotone+idempotent, so the engine's converged result
+# equals any unroll at or beyond its convergence rounds (measured on this
+# fixture: 1 outer round, color 5, reach 4 — R=2/K=10 is 2x margin, and
+# the engine's info['converged'] makes a silently hit bound impossible).
+# Registered outside the full r5 window (same as g13/d16).
+# ---------------------------------------------------------------------------
+
+SCC_OUTER = 2
+SCC_INNER = 10
+
+_SCCE_CTE = """scce AS MATERIALIZED (
+  SELECT src, dst FROM gedges
+  UNION
+  SELECT dst AS src, src AS dst FROM gedges WHERE (src + dst) % 7 = 0
+)"""
+
+
+def cyclic_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ge = graph_edges(spark, sf_dir)
+    rev = ge.filter((F.col("src") + F.col("dst")) % 7 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return ge.unionAll(rev).distinct()
+
+
+def _scc_oracle(outer: int = SCC_OUTER, inner: int = SCC_INNER) -> str:
+    parts = [GEDGES_CTE, _SCCE_CTE, VERTS_CTE,
+             "rem0 AS (SELECT id FROM verts)"]
+    finals = []
+    for o in range(outer):
+        parts.append(
+            f"e{o} AS MATERIALIZED (SELECT src, dst FROM scce "
+            f"WHERE src IN (SELECT id FROM rem{o}) AND dst IN (SELECT id FROM rem{o}))"
+        )
+        parts.append(f"c{o}_0 AS (SELECT id, id AS color FROM rem{o})")
+        for k in range(1, inner + 1):
+            parts.append(
+                f"c{o}_{k} AS MATERIALIZED (SELECT m.id, "
+                f"GREATEST(m.color, COALESCE(x.cand, m.color)) AS color "
+                f"FROM c{o}_{k - 1} m LEFT JOIN ("
+                f"SELECT e.dst AS id, MAX(c.color) AS cand FROM e{o} e "
+                f"JOIN c{o}_{k - 1} c ON e.src = c.id GROUP BY e.dst) x "
+                f"ON m.id = x.id)"
+            )
+        ck = f"c{o}_{inner}"
+        parts.append(
+            f"r{o}_0 AS (SELECT id, id AS scc FROM {ck} WHERE id = color)"
+        )
+        for k in range(1, inner + 1):
+            parts.append(
+                f"r{o}_{k} AS MATERIALIZED (SELECT id, scc FROM r{o}_{k - 1} "
+                f"UNION SELECT e.src AS id, f.scc FROM e{o} e "
+                f"JOIN r{o}_{k - 1} f ON e.dst = f.id "
+                f"JOIN {ck} c ON c.id = e.src AND c.color = f.scc)"
+            )
+        finals.append(f"SELECT id, scc FROM r{o}_{inner}")
+        parts.append(
+            f"rem{o + 1} AS (SELECT id FROM rem{o} "
+            f"WHERE id NOT IN (SELECT id FROM r{o}_{inner}))"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@q("g14_scc", _scc_oracle())
+def g14_scc(spark, sf_dir):
+    from scalemine_spark.algorithms import scc
+
+    labels, info = scc(
+        cyclic_graph_edges(spark, sf_dir),
+        max_outer=SCC_OUTER,
+        max_inner=SCC_INNER,
+    )
+    assert info["converged"], "scc hit the fixed-round bound on the fixture"
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts

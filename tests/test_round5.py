@@ -1121,3 +1121,132 @@ def test_tfidf_topk_small(spark):
         key=lambda t: (-t[1], t[0]),
     )
     assert got[(3, 1)] == exp3[0] and got[(3, 2)] == exp3[1]
+
+
+# ---------------------------------------------------------------------------
+# G14 — strongly connected components
+# ---------------------------------------------------------------------------
+
+
+def _scc_python(pairs):
+    """Iterative Tarjan; returns {id: max-id-of-its-SCC}."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    for a, b in pairs:
+        verts.update((a, b))
+        if a != b:
+            adj[a].append(b)
+    index = {}
+    low = {}
+    on = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strong(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    grp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        grp.append(w)
+                        if w == v:
+                            break
+                    m = max(grp)
+                    for w in grp:
+                        comp[w] = m
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strong(v)
+    return comp
+
+
+def test_scc_matches_tarjan(spark):
+    from scalemine_spark.algorithms import scc
+
+    from tests.conftest import edges_df
+
+    # two cycles bridged by a DAG edge, plus a tail and a self-loop
+    pairs = [
+        (1, 2), (2, 3), (3, 1),       # SCC {1,2,3}
+        (3, 4),                        # bridge
+        (4, 5), (5, 6), (6, 4),       # SCC {4,5,6}
+        (6, 7),                        # tail -> singleton 7
+        (8, 8),                        # self-loop -> singleton 8
+    ]
+    labels, info = scc(edges_df(spark, pairs))
+    got = {r["id"]: r["scc"] for r in labels.collect()}
+    assert got == _scc_python(pairs)
+    assert info["converged"]
+
+
+def test_scc_random_graphs_match_tarjan(spark):
+    from scalemine_spark.algorithms import scc
+
+    from tests.conftest import edges_df
+
+    import numpy as np
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(rng.randint(0, 25, 120), rng.randint(0, 25, 120))
+        ]
+        labels, info = scc(edges_df(spark, pairs))
+        got = {r["id"]: r["scc"] for r in labels.collect()}
+        assert got == _scc_python(pairs), seed
+        assert info["converged"], seed
+
+
+def test_scc_resume(spark, tmp_path):
+    import glob
+    import os
+
+    from scalemine_spark.algorithms import scc
+    from scalemine_spark.checkpoint import CheckpointManager
+
+    from tests.conftest import edges_df
+
+    # graph engineered for >= 2 outer rounds: color class of the max id
+    # swallows vertices not in its SCC (9 reaches the 1-2-3 cycle)
+    pairs = [(1, 2), (2, 3), (3, 1), (9, 1), (4, 9), (9, 4)]
+    e = edges_df(spark, pairs)
+    ck = CheckpointManager(str(tmp_path), "r", "scc")
+    l1, i1 = scc(e, checkpointer=ck)
+    ref = sorted((r["id"], r["scc"]) for r in l1.collect())
+    assert i1["outer_rounds"] >= 2
+    last = ck.latest()
+    for m in glob.glob(os.path.join(str(tmp_path), "r", "scc", "_manifests", "*.json")):
+        if int(os.path.basename(m).split(".")[0]) >= last:
+            os.remove(m)
+    ck2 = CheckpointManager(str(tmp_path), "r", "scc")
+    l2, i2 = scc(e, checkpointer=ck2)
+    assert sorted((r["id"], r["scc"]) for r in l2.collect()) == ref
+    assert i2["outer_rounds"] < i1["outer_rounds"]
