@@ -2809,6 +2809,12 @@ _DRIVER_WINDOW = [
     # same projection and `WHERE src <> dst` — and predicate filters
     # additionally run hash-verified inside most in-window a/w/f/o rows.
     # All three return next round.
+    #
+    # ROUND-6 ROTATION QUEUE (must enter the next window): the three rows
+    # registered this round AFTER the window filled — g13_adamic_adar,
+    # g14_scc, d16_tfidf_topk (all locally verified exact via
+    # tools/check_oracles.py this round) — plus p1/p2/p4 and the round-4
+    # rotated-out rows (s3, x1-x3, d3, d6, g3, g4, u2).
     # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
     # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
     # make room for the seven earlier new rows; x2_href_extraction,
