@@ -1,6 +1,7 @@
 from scalemine_spark.algorithms.bfs import bfs_hops
 from scalemine_spark.algorithms.clustering import clustering_coefficient
 from scalemine_spark.algorithms.components import connected_components
+from scalemine_spark.algorithms.fsm import frequent_subgraphs
 from scalemine_spark.algorithms.hits import hits
 from scalemine_spark.algorithms.kcore import kcore
 from scalemine_spark.algorithms.labelprop import label_propagation
@@ -27,4 +28,5 @@ __all__ = [
     "random_walks",
     "adamic_adar",
     "scc",
+    "frequent_subgraphs",
 ]

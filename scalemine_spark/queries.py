@@ -725,6 +725,109 @@ def g14_scc(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G15 — frequent subgraph mining (ScaleMine's namesake): all size-1/size-2
+# directed patterns (edge / path / out-star / in-star) with orbit-aware MNI
+# support >= tau, over geometric vertex-label classes (P(lab=k) ~ 2^-(k+1),
+# so supports SPREAD — uniform mod-classes saturate every pattern at max on
+# this dense fixture, measured before choosing the scheme). The engine never
+# materializes a level-2 embedding (label-degree profiles, fsm.py); the
+# oracle deliberately IS the naive wedge enumeration — the executable spec
+# the linear-pass engine must match exactly. tau=56 splits every shape
+# nontrivially at sf0.01 AND makes the Apriori prune real (edge patterns at
+# 49-55 fall below it). Registered outside the full r5 window (same as
+# g13/g14/d16).
+# ---------------------------------------------------------------------------
+
+FSM_MIN_SUPPORT = 56
+
+VLAB_CTE = """vlab AS MATERIALIZED (
+  SELECT id, CAST(CASE WHEN id % 2 = 1 THEN 0
+                 WHEN id % 4 = 2 THEN 1
+                 WHEN id % 8 = 4 THEN 2
+                 WHEN id % 16 = 8 THEN 3
+                 ELSE 4 END AS INT) AS lab
+  FROM verts
+)"""
+
+_FSM_ORACLE = f"""WITH {GEDGES_CTE},
+{VERTS_CTE},
+{VLAB_CTE},
+le AS MATERIALIZED (
+  SELECT e.src, e.dst, ls.lab AS la, ld.lab AS lb
+  FROM gedges e JOIN vlab ls ON e.src = ls.id JOIN vlab ld ON e.dst = ld.id
+),
+pe AS (
+  SELECT 'edge' AS shape, la AS l1, lb AS l2, CAST(NULL AS INT) AS l3,
+         LEAST(COUNT(DISTINCT src), COUNT(DISTINCT dst)) AS support
+  FROM le GROUP BY la, lb
+),
+pp AS (
+  SELECT 'path' AS shape, a.la AS l1, a.lb AS l2, b.lb AS l3,
+         LEAST(COUNT(DISTINCT a.src), COUNT(DISTINCT a.dst),
+               COUNT(DISTINCT b.dst)) AS support
+  FROM le a JOIN le b ON a.dst = b.src AND a.src <> b.dst
+  GROUP BY a.la, a.lb, b.lb
+),
+po AS (
+  -- lb <= b.lb enumerates each unordered leaf pair once when labels differ
+  -- and BOTH orders when equal, so COUNT(DISTINCT a.dst) is the union of
+  -- the two leaf roles — the single-orbit MNI image for equal leaf labels.
+  SELECT 'out_star' AS shape, a.la AS l1, a.lb AS l2, b.lb AS l3,
+         CASE WHEN a.lb < b.lb
+              THEN LEAST(COUNT(DISTINCT a.src), COUNT(DISTINCT a.dst),
+                         COUNT(DISTINCT b.dst))
+              ELSE LEAST(COUNT(DISTINCT a.src), COUNT(DISTINCT a.dst)) END
+           AS support
+  FROM le a JOIN le b ON a.src = b.src AND a.dst <> b.dst AND a.lb <= b.lb
+  GROUP BY a.la, a.lb, b.lb
+),
+pi AS (
+  SELECT 'in_star' AS shape, a.lb AS l1, a.la AS l2, b.la AS l3,
+         CASE WHEN a.la < b.la
+              THEN LEAST(COUNT(DISTINCT a.dst), COUNT(DISTINCT a.src),
+                         COUNT(DISTINCT b.src))
+              ELSE LEAST(COUNT(DISTINCT a.dst), COUNT(DISTINCT a.src)) END
+           AS support
+  FROM le a JOIN le b ON a.dst = b.dst AND a.src <> b.src AND a.la <= b.la
+  GROUP BY a.lb, a.la, b.la
+)
+SELECT shape, l1, l2, l3, support FROM (
+  SELECT * FROM pe UNION ALL SELECT * FROM pp
+  UNION ALL SELECT * FROM po UNION ALL SELECT * FROM pi
+) allp WHERE support >= {FSM_MIN_SUPPORT}
+ORDER BY shape, l1, l2, l3"""
+
+
+def vertex_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric label classes over the link-graph vertex set (VLAB_CTE)."""
+    ge = graph_edges(spark, sf_dir)
+    verts = (
+        ge.select(F.col("src").alias("id"))
+        .unionAll(ge.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    lab = (
+        F.when(F.col("id") % 2 == 1, 0)
+        .when(F.col("id") % 4 == 2, 1)
+        .when(F.col("id") % 8 == 4, 2)
+        .when(F.col("id") % 16 == 8, 3)
+        .otherwise(4)
+    ).cast("int")
+    return verts.select("id", lab.alias("lab"))
+
+
+@q("g15_fsm", _FSM_ORACLE)
+def g15_fsm(spark, sf_dir):
+    from scalemine_spark.algorithms import frequent_subgraphs
+
+    return frequent_subgraphs(
+        graph_edges(spark, sf_dir),
+        vertex_labels(spark, sf_dir),
+        min_support=FSM_MIN_SUPPORT,
+    )
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts
@@ -2812,7 +2915,7 @@ _DRIVER_WINDOW = [
     #
     # ROUND-6 ROTATION QUEUE (must enter the next window): the three rows
     # registered this round AFTER the window filled — g13_adamic_adar,
-    # g14_scc, d16_tfidf_topk (all locally verified exact via
+    # g14_scc, g15_fsm, d16_tfidf_topk (all locally verified exact via
     # tools/check_oracles.py this round) — plus p1/p2/p4 and the round-4
     # rotated-out rows (s3, x1-x3, d3, d6, g3, g4, u2).
     # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,

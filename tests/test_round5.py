@@ -1250,3 +1250,125 @@ def test_scc_resume(spark, tmp_path):
     l2, i2 = scc(e, checkpointer=ck2)
     assert sorted((r["id"], r["scc"]) for r in l2.collect()) == ref
     assert i2["outer_rounds"] < i1["outer_rounds"]
+
+
+# ---------------------------------------------------------------------------
+# g15 — frequent subgraph mining: engine (label-degree profiles, no level-2
+# embedding materialization) vs a pure-python NAIVE embedding enumerator
+# computing orbit-aware MNI, on seeded random and handcrafted corner graphs.
+# ---------------------------------------------------------------------------
+
+
+def _labels_df(spark, labels):
+    return spark.createDataFrame(
+        [(int(i), int(l)) for i, l in labels.items()], "id long, lab int"
+    )
+
+
+def _fsm_brute(pairs, labels, tau):
+    """Naive enumeration of every node-injective embedding; MNI per orbit."""
+    from collections import defaultdict
+
+    out_adj, in_adj = defaultdict(set), defaultdict(set)
+    for u, v in pairs:
+        out_adj[u].add(v)
+        in_adj[v].add(u)
+    imgs = defaultdict(lambda: defaultdict(set))
+
+    def add(key, **roles):
+        for r, x in roles.items():
+            imgs[key][r].add(x)
+
+    for u, v in pairs:
+        add(("edge", labels[u], labels[v], None), a=u, b=v)
+        for w in out_adj[v]:
+            if w != u:
+                add(("path", labels[u], labels[v], labels[w]), a=u, b=v, c=w)
+    for v, nbrs in out_adj.items():
+        for u in nbrs:
+            for w in nbrs:
+                if u == w or labels[u] > labels[w]:
+                    continue
+                if labels[u] < labels[w]:
+                    add(("out_star", labels[v], labels[u], labels[w]), a=v, b=u, c=w)
+                else:  # equal leaf labels: ONE orbit, image = union of roles
+                    add(("out_star", labels[v], labels[u], labels[w]), a=v, b=u)
+    for v, nbrs in in_adj.items():
+        for u in nbrs:
+            for w in nbrs:
+                if u == w or labels[u] > labels[w]:
+                    continue
+                if labels[u] < labels[w]:
+                    add(("in_star", labels[v], labels[u], labels[w]), a=v, b=u, c=w)
+                else:
+                    add(("in_star", labels[v], labels[u], labels[w]), a=v, b=u)
+    return sorted(
+        (k[0], k[1], k[2], k[3], min(len(s) for s in roles.values()))
+        for k, roles in imgs.items()
+        if min(len(s) for s in roles.values()) >= tau
+    )
+
+
+def _fsm_engine(spark, pairs, labels, tau):
+    from scalemine_spark.algorithms import frequent_subgraphs
+
+    res = frequent_subgraphs(edges_df(spark, pairs), _labels_df(spark, labels), tau)
+    return sorted(
+        (r["shape"], r["l1"], r["l2"], r["l3"], r["support"]) for r in res.collect()
+    )
+
+
+def test_fsm_matches_naive_enumeration_random(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 34
+    labels = {i: rng.choice([0, 0, 0, 1, 1, 2, 3]) for i in range(n)}
+    pairs = set()
+    while len(pairs) < 150:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            pairs.add((u, v))
+    pairs = sorted(pairs)
+    for tau in (2, 3, 5):
+        assert _fsm_engine(spark, pairs, labels, tau) == _fsm_brute(pairs, labels, tau)
+
+
+def test_fsm_path_injectivity_corner(spark):
+    """x==z with a single in- and single out-neighbor that COINCIDE is not an
+    embedding (u->v->u has u==w); a genuine 3-vertex path of one label is."""
+    pairs = [(1, 2), (2, 1), (3, 4), (4, 5)]
+    labels = {i: 0 for i in range(1, 6)}
+    got = _fsm_engine(spark, pairs, labels, 1)
+    assert got == _fsm_brute(pairs, labels, 1)
+    paths = [r for r in got if r[0] == "path"]
+    # only 3->4->5 embeds: center image {4}, never {1, 2}
+    assert paths == [("path", 0, 0, 0, 1)]
+
+
+def test_fsm_equal_leaf_orbit_union(spark):
+    """Equal leaf labels form one automorphism orbit: the leaf MNI image is
+    the UNION across both roles ({1,2} ∪ {2,3} = 3 leaves, 2 centers)."""
+    pairs = [(10, 1), (10, 2), (11, 2), (11, 3)]
+    labels = {10: 5, 11: 5, 1: 7, 2: 7, 3: 7}
+    got = _fsm_engine(spark, pairs, labels, 1)
+    assert got == _fsm_brute(pairs, labels, 1)
+    assert ("out_star", 5, 7, 7, 2) in got
+
+
+def test_fsm_apriori_prune_preserves_frequent_patterns(spark):
+    """tau above a rare edge pattern's support prunes those edges before
+    level 2; every surviving pattern's support must equal the unpruned
+    (brute-force) value — anti-monotonicity makes the prune lossless."""
+    import random
+
+    rng = random.Random(11)
+    labels = {i: (0 if i % 2 else 1) for i in range(20)}
+    labels[19] = 3  # vertex 19 is the only label-3 vertex: rare patterns
+    pairs = {(19, 0), (19, 2), (1, 19)}
+    while len(pairs) < 70:
+        u, v = rng.randrange(19), rng.randrange(19)
+        if u != v:
+            pairs.add((u, v))
+    pairs = sorted(pairs)
+    assert _fsm_engine(spark, pairs, labels, 2) == _fsm_brute(pairs, labels, 2)
