@@ -200,3 +200,34 @@ def test_sorted_edge_cache_feeds_smj_without_resort(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_fsm_never_plans_a_cartesian_or_nested_loop(spark):
+    """G15: the whole point of the profile formulation is that NO stage
+    enumerates embedding pairs — the plan must contain no CartesianProduct
+    and no BroadcastNestedLoopJoin, and the Apriori prune must reach the
+    edge table as a broadcast LEFT-SEMI hash join (frequent edge-pattern
+    set is <= L^2 rows, never a shuffle of E)."""
+    from scalemine_spark.algorithms import frequent_subgraphs
+
+    e = (
+        spark.range(400)
+        .select(
+            (F.col("id") % 60).alias("src"),
+            ((F.col("id") * 13 + 7) % 60).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    labs = spark.range(60).select("id", (F.col("id") % 3).cast("int").alias("lab"))
+    res = frequent_subgraphs(e, labs, min_support=2)
+    res.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(res)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    semi = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+    ]
+    assert semi, plan
