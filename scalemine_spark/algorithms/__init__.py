@@ -10,6 +10,7 @@ from scalemine_spark.algorithms.pagerank import pagerank
 from scalemine_spark.algorithms.ppr import personalized_pagerank
 from scalemine_spark.algorithms.randomwalk import random_walks
 from scalemine_spark.algorithms.scc import scc
+from scalemine_spark.algorithms.neighborhood import hyperball, neighborhood_function
 from scalemine_spark.algorithms.sssp import sssp
 from scalemine_spark.algorithms.triangles import triangle_count, triangles_per_vertex
 
@@ -29,4 +30,6 @@ __all__ = [
     "adamic_adar",
     "scc",
     "frequent_subgraphs",
+    "neighborhood_function",
+    "hyperball",
 ]

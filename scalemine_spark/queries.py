@@ -828,6 +828,46 @@ def g15_fsm(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# G16 — neighborhood function N(t) (distance distribution / effective
+# diameter, Boldi-Vigna HyperANF family). The driver row is the EXACT
+# iterated-frontier variant (integer set ops — replay-identical; the same
+# exact-baseline role d5 plays for ANN); the HyperBall HLL scale path is
+# pinned bit-exactly in pytest against a pure-python register simulation
+# plus an accuracy contract vs this exact operator.
+# ---------------------------------------------------------------------------
+
+NF_T = 3
+
+
+def _nf_oracle(max_t: int = NF_T) -> str:
+    parts = [
+        GEDGES_CTE,
+        VERTS_CTE,
+        "r0 AS MATERIALIZED (SELECT id AS root, id FROM verts)",
+    ]
+    for k in range(1, max_t + 1):
+        p = k - 1
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT root, id FROM ("
+            f"SELECT root, id FROM r{p} UNION ALL "
+            f"SELECT r.root, e.dst AS id FROM r{p} r JOIN gedges e ON r.id = e.src) u)"
+        )
+    sels = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS t, COUNT(*) AS n_pairs FROM r{k}"
+        for k in range(max_t + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sels
+
+
+@q("g16_neighborhood", _nf_oracle())
+def g16_neighborhood(spark, sf_dir):
+    from scalemine_spark.algorithms import neighborhood_function
+
+    nf, _info = neighborhood_function(graph_edges(spark, sf_dir), max_t=NF_T)
+    return nf
+
+
+# ---------------------------------------------------------------------------
 # X6 — host-graph rollup: contract the URL-level link graph to the host
 # graph (src_host, dst_host, weight). URL edges are derived
 # deterministically from orders keys on BOTH sides; the engine extracts
@@ -2980,8 +3020,12 @@ _DRIVER_WINDOW = [
     "a3_distinct_agg", "a5_hash_to_min", "a6_mode_agg", "a7_global_agg",
     "a9_rollup",
     "w1_ranking", "w2_lag_lead", "w3_frame_agg", "w4_ntile_percent_rank",
-    "o1_global_sort", "o2_topk", "o3_group_topk", "o4_union",
+    "o1_global_sort", "o2_topk", "o3_group_topk",
     "o5_intersect_except",
+    # o4_union rotated out for g16: plain DataFrame.union runs (and is
+    # value-hash-verified) inside EVERY in-window iterative g row (g1/g2/
+    # g7-g16 all grow state via union) and o4 keeps its r3-green driver
+    # row + pytest + local-gate entry.
     "f1_string_funcs", "f2_hash_funcs",
     "g4b_triangles_per_vertex", "m1_binary_metadata",
     # --- changed this round (re-verify against the driver) ---
@@ -2994,7 +3038,7 @@ _DRIVER_WINDOW = [
     "g7_bfs_hops", "g8_personalized_pagerank", "g9_kcore", "g10_sssp",
     "g11_clustering_coeff", "g12_random_walks",
     "g13_adamic_adar", "g14_scc", "g15_fsm", "d16_tfidf_topk",
-    "d17_repetition_filter", "d18_contamination",
+    "d17_repetition_filter", "d18_contamination", "g16_neighborhood",
     # p4_self_loop_removal, p1_project and p2_filter stayed rotated out
     # to fit g10/g11/g12 in the 50-slot window: their exact operations (a
     # column select; a predicate filter; filter(src != dst) on the edge
