@@ -25,10 +25,16 @@ Two variants, mirroring the d5/d6 exact-baseline-plus-scale-path pattern:
   accuracy contract vs the exact operator on the fixture.
 
 Scale plan for the register merge: (id, regs) is posexploded to
-(id, pos, r) rows, partially aggregated MAX map-side, shuffled once on
-(id, pos) (m small integers per vertex — the shuffle payload is m×8
-bytes/vertex), then reassembled with a pos-sorted collect. No Python in
-the loop; lineage truncated per round (the G1/G2/G7 rule).
+(id, pos, r) rows and aggregated in TWO exchanges per round: (1) a
+groupBy (id, pos) MAX whose map-side partial combine collapses every
+map partition's messages to ≤ m rows per vertex BEFORE the shuffle —
+this is what keeps a degree-10^6 hub from pushing deg×m rows through
+the wire — then (2) a groupBy (id) pos-sorted reassembly of the m
+surviving skinny rows per vertex. (The tempting one-exchange variant —
+collect_list of whole register arrays reduced with zip_with/greatest —
+has NO map-side reduction, so a hub vertex ships deg×m values; two
+combines beat one shuffle at web scale.) No Python in the loop; lineage
+truncated per round (the G1/G2/G7 rule).
 """
 
 from __future__ import annotations
@@ -140,23 +146,23 @@ def _init_registers(verts: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _merge_registers(state: DataFrame, msgs: DataFrame, m: int, p: int) -> DataFrame:
+def _merge_registers(state: DataFrame, msgs: DataFrame) -> DataFrame:
     """Elementwise-max merge of register arrays grouped by id: posexplode ->
-    partial-agg MAX -> pos-sorted reassembly. One shuffle on (id, pos)."""
+    groupBy (id, pos) MAX (exchange 1 — map-side partial combine bounds a
+    hub's shuffle payload at m rows per map partition) -> groupBy (id)
+    pos-sorted reassembly (exchange 2 — m skinny rows per vertex, i.e. the
+    state size itself). The output inherits exchange 2's hash(id)
+    partitioning, so no extra repartition is needed downstream."""
     exploded = (
         state.unionByName(msgs)
         .select("id", F.posexplode("regs").alias("pos", "r"))
         .groupBy("id", "pos")
         .agg(F.max("r").alias("r"))
     )
-    return (
-        exploded.groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "r"))), lambda s: s.r
-            ).alias("regs")
-        )
-        .repartition(p, "id")
+    return exploded.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "r"))), lambda s: s.r
+        ).alias("regs")
     )
 
 
@@ -224,7 +230,7 @@ def hyperball(
             e.join(state.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "regs")
         )
-        merged = _merge_registers(state, msgs, m, p)
+        merged = _merge_registers(state, msgs)
         obs = Observation(f"hb_{it}")
         merged = merged.observe(
             obs, F.sum(F.aggregate("regs", F.lit(0), lambda a, r: a + r)).alias("s")
@@ -233,7 +239,7 @@ def hyperball(
             state = checkpointer.commit(it, merged, {})
         else:
             state = merged.localCheckpoint(eager=True)
-        s = int(obs.get["s"])
+        s = int(obs.get["s"] or 0)  # empty graph: SUM over zero rows is NULL
         if checkpointer is not None:
             checkpointer.amend_metrics(it, {"sum_regs": float(s)})
         sum_regs.append(s)

@@ -8,8 +8,19 @@ never a corpus-wide sort.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# The corpus tokenizer shared by d14/d16/d17/d18: lowercase [a-z0-9]+ runs.
+# This regex class behaves identically under Spark's Java regex and DuckDB's
+# RE2 (proven by d14's exact driver row) — any change here must keep that
+# cross-engine property, since every oracle replays it.
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokenize(text_col: Column) -> Column:
+    """Token array for the shared corpus tokenizer (see TOKEN_RE note)."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_RE), 0)
 
 
 def tfidf_topk(
@@ -39,9 +50,7 @@ def tfidf_topk(
     n_docs = docs.count()
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-        ).alias("term"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -62,7 +62,9 @@ def test_repetition_filter_gates_on_both_metrics(spark):
             (3, "x y x y x y x y x y"),
         ],
     )
-    kept = {r["doc_id"] for r in repetition_filter(d).collect()}
+    out = repetition_filter(d)
+    assert out.columns == d.columns  # original docs columns, text included
+    kept = {r["doc_id"] for r in out.collect()}
     assert kept == {1}
 
 
