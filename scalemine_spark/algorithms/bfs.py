@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.tuning import adaptive_partitions
 
 
 def bfs_hops(
@@ -44,7 +45,9 @@ def bfs_hops(
 ) -> tuple[DataFrame, dict]:
     """Returns (dist DF (id, dist) for reached vertices only, info)."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     # sorted cache: the per-hop frontier⋈e sort-merge join reuses the
     # cached ordering instead of re-sorting E every hop (G1/G6 rule)

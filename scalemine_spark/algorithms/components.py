@@ -306,7 +306,13 @@ def connected_components(
     checked before fusion; 0 disables. Size it to driver memory: rows *
     16 bytes must fit comfortably (default 8M rows = ~128 MB)."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive round-0 width and tail-coalescing cap (round 6, guide
+    # §2) — same derivation and rationale as pagerank._prepare / tuning.py;
+    # the tail rounds already re-derived their width from observed rows,
+    # this extends the same idea to round 0 via the input size estimate
+    from scalemine_spark.tuning import adaptive_partitions
+
+    p = num_partitions or adaptive_partitions(edges)
 
     verts = (
         edges.select(F.col("src").alias("id"))

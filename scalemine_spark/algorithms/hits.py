@@ -19,10 +19,12 @@ half-steps run on raw sums (division by the observed scalar is a literal
 in the next iteration's plan — no extra job, no broadcast).
 
 Scale plan (100 TB): the edge table is shuffled ONCE per join key
-(e_by_src / e_by_dst, both persisted); each iteration is two partial-agg
-jobs — join E with the V-sized score vector, map-side-combine the sums,
-one exchange each. The L1 sums ride the materializing actions as
-Observations (zero extra jobs). Vertices with no in-edges have auth 0, no
+(e_by_src / e_by_dst, both persisted); each iteration is ONE materializing
+job (round 6 — the auth half-step is a lazily-persisted subplan whose
+cached partitions the single job computes exactly once for both consumers)
+containing two partial-agg joins — join E with the V-sized score vector,
+map-side-combine the sums, one exchange each. Both L1 sums ride the
+materializing action as one Observation (zero extra jobs). Vertices with no in-edges have auth 0, no
 out-edges hub 0; isolated endpoints still appear in the output (verts
 comes from raw edge endpoints, same rule as PageRank/CC/LPA).
 """
@@ -63,8 +65,12 @@ def hits(
     the score contract is allclose 1e-6, which double sums meet; the
     default replay contract is allclose 1e-12 (ulp-level merge jitter).
     """
+    from scalemine_spark.tuning import adaptive_partitions
+
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     def _s(col):  # sum, optionally in exact (associative) decimal
         if exact_sums:
@@ -117,16 +123,18 @@ def hits(
             .agg(_s(F.col("hub")).alias("auth_raw"))
             .withColumnRenamed("dst", "id")
         )
-        obs_a = Observation(f"hits_a_{it}")
-        a_mat = a_raw.observe(obs_a, _s(F.col("auth_raw")).alias("s_a")).localCheckpoint(
-            eager=True
-        )
-        s_a = float(obs_a.get["s_a"])
+        # a_raw is consumed twice below (join probe + state outer join) —
+        # LAZY columnar persist instead of the round-5 eager localCheckpoint:
+        # the SQL cache's block locks compute each cached partition exactly
+        # once even with two consumers inside one job (the components.py
+        # large-star rule), so the whole iteration — both half-steps — runs
+        # as ONE materializing Spark job instead of two. Measured round 6
+        # (bench_extra, warm rep at 2M edges/local[32], together with the
+        # adaptive loop width): hits4 7.4s -> 5.8s.
+        a_mat = a_raw.persist()
 
         # half-step 2: raw hub = sum of outgoing RAW authority (scale factor
         # cancels in hub's own normalization), plus the combined state row.
-        # a_mat is consumed twice (join probe + state outer join) — it is
-        # materialized above, so it computes once.
         h_raw = (
             e_by_dst.join(a_mat.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
@@ -142,16 +150,29 @@ def hits(
                 F.coalesce("hub_raw", F.lit(0.0)).alias("hub_raw"),
             )
         )
+        # BOTH L1 sums ride the single materializing action: s_a over the
+        # combined state equals the sum over a_raw's rows exactly up to
+        # float merge order (the extra rows are coalesced 0.0 terms), the
+        # same 1e-12 replay tolerance the round-5 two-job form already
+        # carried for shuffle-merge ordering.
         obs_h = Observation(f"hits_h_{it}")
-        combined = combined.observe(obs_h, _s(F.col("hub_raw")).alias("s_h"))
+        combined = combined.observe(
+            obs_h,
+            _s(F.col("auth_raw")).alias("s_a"),
+            _s(F.col("hub_raw")).alias("s_h"),
+        )
         if checkpointer is not None:
-            state = checkpointer.commit(it, combined, {"s_a": s_a})
+            state = checkpointer.commit(it, combined, {})
         else:
             state = combined.localCheckpoint(eager=True)
-        s_h = float(obs_h.get["s_h"])
+        got = obs_h.get
+        s_a = float(got["s_a"])
+        s_h = float(got["s_h"])
+        a_mat.unpersist()
         if checkpointer is not None:
             checkpointer.amend_metrics(
-                it, {"s_h": s_h, "iter_seconds": time.monotonic() - t_it}
+                it,
+                {"s_a": s_a, "s_h": s_h, "iter_seconds": time.monotonic() - t_it},
             )
 
         hub = state.select("id", (F.col("hub_raw") / F.lit(s_h)).alias("hub"))

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.tuning import adaptive_partitions
 
 
 def kcore(
@@ -46,7 +47,9 @@ def kcore(
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     # undirected simple edge set, canonical (lo, hi) orientation
     und = (

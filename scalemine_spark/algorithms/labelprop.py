@@ -32,8 +32,12 @@ def label_propagation(
 ) -> tuple[DataFrame, dict]:
     """Returns (labels DF (id, label), info). iters=None -> run to fixpoint
     (bounded by max_iters); iters=k -> exactly k synchronous iterations."""
+    from scalemine_spark.tuning import adaptive_partitions
+
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     # partitioned AND sorted once: the per-iteration sym⋈labels sort-merge
     # join reuses the cached ordering instead of re-sorting 2E rows per round

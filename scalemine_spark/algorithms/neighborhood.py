@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.tuning import adaptive_partitions
 
 
 def _verts(e: DataFrame, p: int) -> DataFrame:
@@ -72,7 +73,9 @@ def neighborhood_function(
     — no floats anywhere; replay-identical under any partitioning.
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
     e = (
         edges.select("src", "dst")
         .repartition(p, "src")
@@ -198,7 +201,9 @@ def hyperball(
     Resume: the committed per-round state is the (id, regs) table.
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
     e = (
         edges.select("src", "dst")
         .repartition(p, "dst")
@@ -213,6 +218,16 @@ def hyperball(
         last = checkpointer.latest()
         if last is not None:
             state = checkpointer.read_state(spark, last)
+            # resuming with a different m would silently apply _estimate(m)
+            # to wrong-width registers (round-5 advisory): validate the
+            # checkpointed register width before trusting the state
+            probe = state.select(F.size("regs").alias("w")).first()
+            if probe is not None and int(probe["w"]) != m:
+                raise ValueError(
+                    f"hyperball resume: checkpointed register width "
+                    f"{int(probe['w'])} != requested m={m} — rerun with the "
+                    "original m or start a fresh checkpoint directory"
+                )
             start = last + 1
     if state is None:
         state = _init_registers(verts, m)

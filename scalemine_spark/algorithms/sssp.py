@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
+from scalemine_spark.tuning import adaptive_partitions
 
 
 def sssp(
@@ -51,7 +52,9 @@ def sssp(
     usual float-min caveats on exact ties).
     """
     spark = edges.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # scale-adaptive loop width (round 6, guide §2) — same derivation and
+    # rationale as pagerank._prepare / tuning.py module docstring
+    p = num_partitions or adaptive_partitions(edges)
 
     # partition AND sort the cached edge table once: every round's
     # frontier⋈e sort-merge join then reuses the cached ordering instead

@@ -21,13 +21,23 @@ from scalemine_spark.graph import canonical_undirected
 
 
 def _oriented(edges: DataFrame) -> DataFrame:
-    """Each undirected edge once, oriented low(deg,id) -> high(deg,id)."""
-    und = canonical_undirected(edges)  # (a,b), a<b, distinct
+    """Each undirected edge once, oriented low(deg,id) -> high(deg,id).
+
+    Round-6 shuffle audit (guide §2.4): the un-persisted form recomputed
+    the E-sized canonical-distinct subtree THREE times (once per consumer:
+    the join probe and both degree-union branches) and the V-sized degree
+    aggregate TWICE (da and db) — the formatted plan showed six separate
+    dedup/agg Exchanges with no reuse. Persisting `und` and `deg` collapses
+    that to ONE dedup exchange + ONE degree exchange; the da/db joins then
+    read the degree cache, whose hash(id) partitioning satisfies both join
+    sides (only `und`/`j` re-exchange per join key). plans/r06/triangles_*."""
+    und = canonical_undirected(edges).persist()  # (a,b), a<b, distinct
     deg = (
         und.select(F.col("a").alias("id"))
         .union(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
@@ -42,7 +52,23 @@ def _oriented(edges: DataFrame) -> DataFrame:
 
 
 def _closed_wedges(edges: DataFrame) -> DataFrame:
-    o = _oriented(edges).persist()
+    from scalemine_spark.tuning import adaptive_partitions
+
+    # persist the oriented set partitioned AND sorted on the wedge corner:
+    # both sides of the wedge self-join read the cache's hash(lo)
+    # partitioning and (lo, hi) ordering, so the join runs with ZERO
+    # exchanges and ZERO sorts (round 6; previously each side re-exchanged
+    # all E rows on x). The close-side semi join still exchanges on the
+    # canonical (y, z) pair — that one carries the wedge mass and is
+    # irreducible without broadcasting E. Width is scale-adaptive
+    # (tuning.py): session-width at cluster scale, core-count locally.
+    p = adaptive_partitions(edges)
+    o = (
+        _oriented(edges)
+        .repartition(p, "lo")
+        .sortWithinPartitions("lo", "hi")
+        .persist()
+    )
     e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))

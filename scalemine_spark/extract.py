@@ -282,7 +282,20 @@ def _edges_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         [np.asarray(h, dtype=object) for h in hrefs if isinstance(h, list) and h]
     )
     dst = normalize_url_batch(pd.Series(base), pd.Series(flat))
-    return pd.DataFrame({"src_url": base, "dst_url": dst.to_numpy(dtype=object)})
+    # pre-filter INSIDE the batch (round 6, guide §4.1: control how many
+    # rows cross the Arrow boundary): non-http(s) results and self-links
+    # are dropped by every consumer's JVM filter anyway — dropping them
+    # here means they never get serialized back to the JVM. The pandas
+    # startswith pair is exactly the consumer's "^https?://" anchor, so
+    # the JVM filters (kept as the contract) become near-no-ops.
+    d = dst.to_numpy(dtype=object)
+    keep = (
+        (dst.str.startswith("http://") | dst.str.startswith("https://"))
+        .fillna(False)
+        .to_numpy(dtype=bool)
+        & (d != base)
+    )
+    return pd.DataFrame({"src_url": base[keep], "dst_url": d[keep]})
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -299,7 +312,15 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
+        # hash-repartition on the url instead of round-robin (round 6):
+        # every keyless repartition(n) first pays a local sort of its input
+        # rows so retried tasks reproduce the same row-to-partition
+        # assignment (SPARK-23207; guide §2.5) — here that sorted the FULL
+        # html payload inside the (often single) input task before the
+        # exchange. Hashing the unique page url is just as deterministic
+        # under retries, spreads 135k+ distinct keys evenly over any task
+        # count, and skips the payload sort outright.
+        return df.repartition(target, F.col("url"))
     return df
 
 

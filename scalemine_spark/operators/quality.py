@@ -82,7 +82,14 @@ def _with_repetition_metrics(docs: DataFrame, text_col: str) -> DataFrame:
     """docs + (n_tokens, dup_token_frac_n, top_bigram_frac_n) as extra
     columns — one narrow projection, no shuffle, original columns kept."""
     return (
-        docs.withColumn("_w", tokenize(F.col(text_col)))
+        # NULL text: Spark's size(NULL array) is -1 (legacy sizeOfNull) while
+        # the DuckDB oracles take the NULL->0 path — coalesce to an empty
+        # token array so n_tokens is 0 on both engines (latent-only today:
+        # the fixtures carry no NULL texts; round-5 advisory).
+        docs.withColumn(
+            "_w",
+            F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")),
+        )
         .withColumn("_n_tokens", F.size("_w"))
         .withColumn("_nd", F.size(F.array_distinct("_w")))
         .withColumn("_top", _max_run_of_sorted(_ngrams("_w", 2)))
@@ -182,7 +189,10 @@ def ngram_contamination(
     quadratic, nothing driver-side, no Python.
     """
     totals = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_w")
+        F.col(id_col).alias("doc_id"),
+        # same NULL-text guard as _with_repetition_metrics: without it
+        # size(array_distinct(...)) is -1 for NULL text on Spark only
+        F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")).alias("_w"),
     ).select(
         "doc_id",
         F.size(F.array_distinct(_ngrams("_w", n))).cast("long").alias("n_grams"),

@@ -134,7 +134,8 @@ def main():
     n_ok = n_bad = n_rowsonly = 0
     results: dict[str, dict] = {}
 
-    def record(name, *, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err):
+    def record(name, *, rows_match, schema_match, hash_match, spark_rows, oracle_rows, err,
+               rows_only=False):
         results[name] = {
             "rows_match": rows_match,
             "schema_match": schema_match,
@@ -143,6 +144,8 @@ def main():
             "oracle_rows": oracle_rows,
             "err": err,
         }
+        if rows_only:
+            results[name]["rows_only"] = True
 
     for name in names:
         t0 = time.time()
@@ -157,8 +160,12 @@ def main():
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            record(name, rows_match=len(spdf) >= 0, schema_match=None, hash_match=None,
-                   spark_rows=len(spdf), oracle_rows=None, err=None)
+            # rows_match=None (not a tautological True): nothing was
+            # compared for no-oracle entries, and the artifact must not be
+            # readable as a verified row-count match (round-5 advisory)
+            record(name, rows_match=None, schema_match=None, hash_match=None,
+                   spark_rows=len(spdf), oracle_rows=None, err=None,
+                   rows_only=True)
             n_rowsonly += 1
             continue
         try:
