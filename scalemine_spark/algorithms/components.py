@@ -314,11 +314,15 @@ def connected_components(
 
     p = num_partitions or adaptive_partitions(edges)
 
+    # verts feeds ONLY the final comps join (unlike the per-iteration
+    # algorithms, nothing here needs a specific alignment width), so the
+    # post-distinct repartition was a pure extra V-sized exchange — the
+    # distinct's own hash(id) output partitioning serves the join as-is
+    # (round 6, guide §2.4)
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .repartition(p, "id")
         .persist()
     )
 

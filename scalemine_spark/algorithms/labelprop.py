@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
-from scalemine_spark.graph import symmetrize
 
 
 def label_propagation(
@@ -40,8 +39,22 @@ def label_propagation(
     p = num_partitions or adaptive_partitions(edges)
 
     # partitioned AND sorted once: the per-iteration sym⋈labels sort-merge
-    # join reuses the cached ordering instead of re-sorting 2E rows per round
-    sym = symmetrize(edges).repartition(p, "dst").sortWithinPartitions("dst").persist()
+    # join reuses the cached ordering instead of re-sorting 2E rows per round.
+    # Round 6 (guide §2.4 — share one exchange): symmetrize()'s distinct
+    # paid its own (src,dst) exchange and the repartition a SECOND full-2E
+    # exchange; repartitioning FIRST on dst lets the dedup run in place —
+    # hash(dst) clusters every (src,dst) pair, so the aggregate's required
+    # ClusteredDistribution(src,dst) is already satisfied (the subset rule)
+    # and the cache build shuffles the 2E rows exactly once. Same rows,
+    # same partitioning and ordering as the round-5 cache.
+    e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    sym = (
+        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(p, "dst")
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions("dst")
+        .persist()
+    )
     # vertices come from the RAW edge endpoints (not sym, which drops
     # self-loops): a vertex appearing only in self-loop edges still exists and
     # keeps its own label throughout — consistent with pagerank / components.

@@ -184,7 +184,13 @@ def cosine_neardup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
 
-    cand = None
+    # ALL table signatures in ONE pass over the corpus (round 6, guide
+    # §1.2 "remove passes"): the round-5 form looped per table, re-scanning
+    # the vector column n_tables times; here the n_tables sig expressions
+    # are computed in a single projection and posexploded to
+    # (id, tbl, sig) rows. Buckets, the skew guard, and the self-join key
+    # become (tbl, sig) — identical per-table candidate sets, one scan.
+    sig_exprs = []
     for ti in range(n_tables):
         planes = _hyperplanes(n_bits, dim, seed + 7919 * ti)
         sig = F.lit(0).cast("long")
@@ -193,17 +199,22 @@ def cosine_neardup(
             sig = sig + F.when(
                 F.round(_dot(F.col("v"), pl), 6) > 0, F.lit(2**b).cast("long")
             ).otherwise(F.lit(0).cast("long"))
-        sigs = base.select("id", sig.alias("sig"))
-        if max_bucket is not None:
-            ok = sigs.groupBy("sig").count().filter(F.col("count") <= max_bucket)
-            sigs = sigs.join(ok.select("sig"), "sig")
-        a = sigs.select(F.col("id").alias("a_id"), "sig")
-        b_ = sigs.select(F.col("id").alias("b_id"), F.col("sig").alias("sig2"))
-        pairs = a.join(
-            b_, (a.sig == b_.sig2) & (a.a_id < b_.b_id)
-        ).select("a_id", "b_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["a_id", "b_id"])
+        sig_exprs.append(sig)
+    sigs = base.select(
+        "id", F.posexplode(F.array(*sig_exprs)).alias("tbl", "sig")
+    )
+    if max_bucket is not None:
+        ok = sigs.groupBy("tbl", "sig").count().filter(F.col("count") <= max_bucket)
+        sigs = sigs.join(ok.select("tbl", "sig"), ["tbl", "sig"])
+    a = sigs.select(F.col("id").alias("a_id"), "tbl", "sig")
+    b_ = sigs.select(
+        F.col("id").alias("b_id"), F.col("tbl").alias("tbl2"), F.col("sig").alias("sig2")
+    )
+    cand = (
+        a.join(b_, (a.tbl == b_.tbl2) & (a.sig == b_.sig2) & (a.a_id < b_.b_id))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
 
     va = base.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))

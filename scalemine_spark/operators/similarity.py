@@ -122,22 +122,56 @@ def ann_lsh(
         vectors where re-hashing the corpus is the expensive part.
     """
     probes = _probe_masks(n_bits, probe_radius)
-    cands = None
     qbase = queries.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    for t in range(n_tables):
-        planes = _hyperplanes(n_bits, dim, seed + 7919 * t)
-        c = corpus.withColumn("sig", lsh_signature(F.col("embedding"), planes))
-        qsig = lsh_signature(F.col("qv"), planes)
-        if len(probes) > 1:
-            qs = qbase.withColumn(
-                "sig", F.explode(F.array(*[qsig.bitwiseXOR(F.lit(m)) for m in probes]))
-            )
-        else:
-            qs = qbase.withColumn("sig", qsig)
-        cand = c.join(F.broadcast(qs), "sig").filter(F.col("vec_id") != F.col("qid"))
-        cand = cand.select("qid", "qv", "vec_id", "embedding")
-        cands = cand if cands is None else cands.unionByName(cand)
-    cands = cands.dropDuplicates(["qid", "vec_id"])
+    # ALL table signatures in ONE corpus pass (round 6, guide §1.2 "remove
+    # passes" — the same fusion as dedup.cosine_neardup): the round-5 loop
+    # re-scanned and re-hashed the corpus once per table; here the n_tables
+    # sig expressions are one projection, posexploded to (tbl, sig), and
+    # the bucket join key becomes (tbl, sig). Per-table candidate sets are
+    # identical; the corpus is read once. The (small) query side carries
+    # its table index through the same explode.
+    all_planes = [_hyperplanes(n_bits, dim, seed + 7919 * t) for t in range(n_tables)]
+    c = corpus.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[lsh_signature(F.col("embedding"), pl) for pl in all_planes])
+        ).alias("tbl", "sig"),
+    )
+    # multi-probe WITHOUT expression blow-up (round 6): the round-5 form
+    # rebuilt the full n_bits-dot qsig expression once per probe mask —
+    # sum(C(n_bits, r<=radius)) copies per table, each embedding every
+    # hyperplane as array literals. At d6's parameters (8 bits, radius 3,
+    # 6 tables) that was 558 copies ≈ 3*10^5 literal nodes, and the query
+    # spent ~40s in CATALYST ANALYSIS on a 500-row fixture (measured —
+    # the stages themselves were sub-second). Evaluate each table's qsig
+    # ONCE per row, then XOR the column VALUE against a small literal
+    # mask array with transform(): plan size O(tables*bits + masks),
+    # identical probe set.
+    mask_arr = F.array(*[F.lit(int(m)).cast("long") for m in probes])
+    qs = (
+        qbase.select(
+            "qid",
+            "qv",
+            F.posexplode(
+                F.array(*[lsh_signature(F.col("qv"), pl) for pl in all_planes])
+            ).alias("tbl", "qsig"),
+        )
+        .select(
+            "qid",
+            "qv",
+            "tbl",
+            F.explode(
+                F.transform(mask_arr, lambda m: F.col("qsig").bitwiseXOR(m))
+            ).alias("sig"),
+        )
+    )
+    cands = (
+        c.join(F.broadcast(qs), ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "embedding")
+        .dropDuplicates(["qid", "vec_id"])
+    )
     return _rerank_topk(cands, k)
 
 

@@ -81,9 +81,21 @@ def main():
         explain_to(new_state, os.path.join(outdir, f"pagerank_iter_{tag}.txt"))
 
         # ---- lpa: one iteration --------------------------------------
-        from scalemine_spark.graph import symmetrize
-        sym = symmetrize(edges).repartition(p, "dst") \
-            .sortWithinPartitions("dst").persist()
+        if tag == "before":
+            # round-start cache build: distinct exchange + repartition
+            from scalemine_spark.graph import symmetrize
+            sym = symmetrize(edges).repartition(p, "dst") \
+                .sortWithinPartitions("dst").persist()
+        else:
+            # shipped round-6 build: one exchange, dedup in place
+            e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+            sym = (
+                e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+                .repartition(p, "dst")
+                .dropDuplicates(["src", "dst"])
+                .sortWithinPartitions("dst")
+                .persist()
+            )
         labels = verts.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
         nbr = sym.join(labels.select(F.col("id").alias("dst"), "label"), "dst") \
             .select(F.col("src").alias("id"), "label")

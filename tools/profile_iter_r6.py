@@ -63,6 +63,8 @@ def main():
             np = 64
         e = e.repartition(2 * CPUS, "src").persist()
         e.count()
+        if "conf32" in v:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
         t0 = time.monotonic()
         ranks, info = pagerank(e, fixed_iters=10, num_partitions=np)
         from pyspark.sql import functions as F
