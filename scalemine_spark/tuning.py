@@ -37,11 +37,17 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 
-# ~128k of the 16-byte edge/state rows per task — the same density the CC
-# tail-round coalescing uses; expressed in estimator bytes (deserialized
-# cache rows carry JVM overhead, so ~8 MB of estimate ~ a few hundred k
-# rows). Small enough that misestimation moves the clamp, not the result.
-TARGET_BYTES_PER_PARTITION = 8 << 20
+# ~256k of the 16-byte edge/state rows per task (estimator bytes; cached
+# relations estimate ~16 B/row). Calibrated from BOTH ends (round 6):
+# at 2M edges the derivation must land at defaultParallelism (0.92 ->
+# 0.67 s/iter measured, tools/profile_iter_r6.py), and by ~16M edges it
+# should be back at the session width — the 16M-edge holdout
+# (tools/ab_scale_r6.py, order-swapped pairs to cancel first-position
+# warm-up bias) measured parity with the pinned session width there.
+# Conservative by design: the narrow window only covers scales where the
+# per-task fixed cost demonstrably dominates. Misestimation moves the
+# clamp, never correctness.
+TARGET_BYTES_PER_PARTITION = 4 << 20
 
 
 def adaptive_partitions(df: DataFrame, session_p: int | None = None) -> int:
