@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from scalemine_spark.checkpoint import CheckpointManager
-from scalemine_spark.graph import out_degrees, vertex_ids
+from scalemine_spark.graph import vertex_ids
 
 
 def _prepare(edges: DataFrame, num_partitions: int | None, weight_col: str | None = None):
@@ -66,16 +66,32 @@ def _prepare(edges: DataFrame, num_partitions: int | None, weight_col: str | Non
     )
     e = edges.select(*cols).repartition(p, "src").sortWithinPartitions("src").persist()
     if weight_col:
+        # float out-weights keep the two-pass build: fusing it would sum ew
+        # in a different merge order than the committed round-5 plan
         outd = e.groupBy(F.col("src").alias("id")).agg(F.sum("ew").alias("out_deg"))
+        verts = (
+            vertex_ids(e)
+            .join(outd, "id", "left")
+            .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+            .repartition(p, "id")
+            .persist()
+        )
     else:
-        outd = out_degrees(e)
-    verts = (
-        vertex_ids(e)
-        .join(outd, "id", "left")
-        .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .repartition(p, "id")
-        .persist()
-    )
+        # round 6 (guide §2.4): ONE aggregate replaces the former
+        # distinct ∪ out_degrees ∪ left-join ∪ repartition chain — a src
+        # endpoint contributes 1 to its out-degree, a dst endpoint 0 (so
+        # sink-only vertices still appear, with out_deg 0). Integer sums,
+        # so the values are bit-identical to the count/coalesce form;
+        # saves one E-sized partial-agg exchange and a V-sized join per
+        # invocation (2E rows partial-aggregate map-side either way).
+        verts = (
+            e.select(F.col("src").alias("id"), F.lit(1).alias("d"))
+            .union(e.select(F.col("dst").alias("id"), F.lit(0).alias("d")))
+            .groupBy("id")
+            .agg(F.sum("d").alias("out_deg"))
+            .repartition(p, "id")
+            .persist()
+        )
     return e, verts, p
 
 

@@ -66,12 +66,14 @@ def sssp(
         .sortWithinPartitions("src")
         .persist()
     )
+    # seed lookup ONLY: the isin() filter pushes below the union+distinct,
+    # so this never materializes the vertex table (round 6, guide §2.2 —
+    # the former .repartition(p,"id").persist() paid a V-sized exchange
+    # plus a full-V cache build to look up a handful of seed ids)
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .repartition(p, "id")
-        .persist()
     )
 
     start = 0
@@ -146,5 +148,4 @@ def sssp(
         "seconds": time.monotonic() - t0,
     }
     e.unpersist()
-    verts.unpersist()
     return state.select("id", "dist"), info

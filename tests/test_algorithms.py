@@ -130,3 +130,20 @@ def test_triangle_relabel_invariance(spark):
     t1 = triangle_count(edges_df(spark, pairs)).collect()[0]["triangles"]
     t2 = triangle_count(edges_df(spark, relabeled)).collect()[0]["triangles"]
     assert t1 == t2
+
+
+def test_prepare_fused_verts_corner_graph(spark):
+    """Round 6: _prepare's one-pass verts build (union src->1 / dst->0 then
+    one aggregate) must match the naive distinct+out_degrees+join form on a
+    graph with a sink-only vertex, parallel edges, and a self-loop."""
+    from scalemine_spark.algorithms.pagerank import _prepare
+
+    pairs = [(1, 2), (1, 2), (2, 3), (3, 3), (4, 5), (7, 5)]  # 5 is sink-only
+    e = edges_df(spark, pairs)
+    _, verts, _ = _prepare(e, num_partitions=4)
+    got = {r["id"]: r["out_deg"] for r in verts.collect()}
+    exp = {}
+    for s, d in pairs:
+        exp[s] = exp.get(s, 0) + 1
+        exp.setdefault(d, 0)
+    assert got == exp, (got, exp)
