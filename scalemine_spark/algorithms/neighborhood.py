@@ -84,8 +84,15 @@ def neighborhood_function(
     )
     verts = _verts(e, p)
 
-    reach = verts.select(F.col("id").alias("root"), "id").localCheckpoint(eager=True)
-    counts = [reach.count()]
+    # the t=0 pair count (=|V|) rides the seeding checkpoint as an
+    # Observation — no separate count() job (the G1/G2/G7 rule, round 6)
+    obs0 = Observation("nf_0")
+    reach = (
+        verts.select(F.col("id").alias("root"), "id")
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    counts = [int(obs0.get["n"])]
     t0 = time.monotonic()
     for _t in range(1, max_t + 1):
         grown = (
